@@ -1,0 +1,149 @@
+"""Join lookup structures: the TPU-native redesign of the reference's ten
+concurrent hash-map build versions (reference src/operator/version{1..10},
+src/operator/build_implementation.rs:34-112).
+
+On a TPU there are no locks, shards, or compaction barriers: N concurrent
+writers + freeze collapses into phased dataflow — hash, bucket-count
+(scatter-add), prefix-sum, stable sort into bucket order. The result is a CSR
+("bucket offsets + row permutation") structure that the probe side reads with
+pure gathers — the vectorized equivalent of the reference's
+hash -> (first index + 1) + overflow-chain layout
+(reference src/utils/concurrent_self_hash_join_map.rs:165-181), which it chose
+for exactly the same reason: chains laid out flat are gather-friendly.
+
+Two strategies (the engine's analog of the reference's `JoinReplacement` axis):
+  * CSR   — bucket table with `table_size = 2 * capacity` slots.
+  * SORT  — sort rows by hash; probe by binary search (sort-merge fallback,
+            no table memory, O(log n) gathers per probe row).
+
+Both produce, per probe row, a contiguous candidate range `[start, start+count)`
+in a row permutation — the shared `expand_candidates` then flattens the
+data-dependent 1:N matches into a static-capacity candidate list using the
+cumsum + searchsorted expansion idiom (replacing the reference's dynamic
+`UInt32BufferBuilder` loop in src/shared/shared.rs:29-47).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class JoinStrategy(enum.Enum):
+    CSR = "csr"          # bucketed hash table (default)
+    SORT = "sort"        # sort-merge on hashes
+    PALLAS = "pallas"    # fused Pallas probe kernel (CSR layout)
+
+
+class JoinTable(NamedTuple):
+    """Frozen build-side lookup structure (a pytree).
+
+    kind_csr:  offsets[T+2] bucket starts into perm; bucket T holds rows with
+               null keys / padding so valid buckets never see them.
+    kind_sort: sorted_hash[cap] + perm; offsets is unused (size 1).
+    """
+    offsets: jnp.ndarray      # int32; size-1 dummy under SORT
+    perm: jnp.ndarray         # int32[cap] row ids in bucket/sorted order
+    hashes: jnp.ndarray       # uint32[cap] per original row
+    sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) or size-1 dummy (CSR)
+
+    @property
+    def is_sort(self) -> bool:
+        # derived from a static shape so it works across jit boundaries
+        return self.offsets.shape[0] == 1
+
+
+def table_size_for(capacity: int) -> int:
+    return max(2 * capacity, 128)
+
+
+def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
+    cap = hashes.shape[0]
+    T = table_size_for(cap)
+    in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
+    ok = in_row & key_valid
+    slot = jnp.where(ok, (hashes & jnp.uint32(T - 1)).astype(jnp.int32), T)
+    counts = jnp.zeros((T + 1,), jnp.int32).at[slot].add(1)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts, dtype=jnp.int32)])
+    perm = jnp.argsort(slot, stable=True).astype(jnp.int32)
+    return JoinTable(offsets, perm, hashes, jnp.zeros((1,), jnp.int64))
+
+
+def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
+    cap = hashes.shape[0]
+    in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
+    ok = in_row & key_valid
+    # push invalid rows to the top of the sort order with a key > any hash;
+    # the stored sorted key is int64 so the sentinel stays sorted
+    key = jnp.where(ok, hashes.astype(jnp.int64), jnp.int64(1) << 33)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_key = jnp.take(key, perm)
+    return JoinTable(jnp.zeros((1,), jnp.int32), perm, hashes, sorted_key)
+
+
+def build_join_table(hashes, key_valid, num_rows,
+                     strategy: JoinStrategy = JoinStrategy.CSR) -> JoinTable:
+    if strategy is JoinStrategy.SORT:
+        return build_sorted(hashes, key_valid, num_rows)
+    return build_csr(hashes, key_valid, num_rows)
+
+
+class Candidates(NamedTuple):
+    """Flattened (probe row, build row) candidate pairs, static capacity."""
+    probe_idx: jnp.ndarray   # int32[out_cap]
+    build_idx: jnp.ndarray   # int32[out_cap]
+    valid: jnp.ndarray       # bool[out_cap]: real candidate AND hashes equal
+    total: jnp.ndarray       # int32 scalar: true candidate count (overflow check)
+
+
+def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
+                 probe_key_valid: jnp.ndarray, probe_num_rows):
+    """Per probe row: (start, count) range of hash-bucket candidates in perm."""
+    mcap = probe_hashes.shape[0]
+    in_row = jnp.arange(mcap, dtype=jnp.int32) < probe_num_rows
+    ok = in_row & probe_key_valid
+    if table.is_sort:
+        # valid build rows form a sorted prefix (invalid rows carry sentinel
+        # key 2^33 > any uint32 hash, so probe hashes never reach them)
+        ph = probe_hashes.astype(jnp.int64)
+        start = jnp.searchsorted(table.sorted_hash, ph, side="left").astype(jnp.int32)
+        end = jnp.searchsorted(table.sorted_hash, ph, side="right").astype(jnp.int32)
+        count = end - start
+    else:
+        T = table.offsets.shape[0] - 2
+        slot = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+        start = jnp.take(table.offsets, slot, mode="clip")
+        count = jnp.take(table.offsets, slot + 1, mode="clip") - start
+    count = jnp.where(ok, count, 0)
+    return start, count
+
+
+def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
+                      probe_hashes: jnp.ndarray, out_cap: int) -> Candidates:
+    """cumsum + searchsorted expansion of variable-length candidate ranges."""
+    cum = jnp.cumsum(count, dtype=jnp.int32)
+    total = cum[-1]
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    probe_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    probe_idx = jnp.minimum(probe_idx, count.shape[0] - 1)
+    base = jnp.where(probe_idx > 0, jnp.take(cum, probe_idx - 1, mode="clip"), 0)
+    k = j - base
+    pos = jnp.take(start, probe_idx, mode="clip") + k
+    build_idx = jnp.take(table.perm, pos, mode="clip")
+    cand = j < total
+    if table.is_sort:
+        hash_eq = jnp.ones_like(cand)  # equal by construction of the range
+    else:
+        hash_eq = (jnp.take(table.hashes, build_idx, mode="clip")
+                   == jnp.take(probe_hashes, probe_idx, mode="clip"))
+    return Candidates(probe_idx, build_idx, cand & hash_eq, total)
+
+
+def probe_candidates(table: JoinTable, probe_hashes, probe_key_valid,
+                     probe_num_rows, out_cap: int) -> Candidates:
+    start, count = probe_ranges(table, probe_hashes, probe_key_valid,
+                                probe_num_rows)
+    return expand_candidates(table, start, count, probe_hashes, out_cap)

@@ -1,0 +1,184 @@
+"""Vectorized hash join: build + probe for all eight join types.
+
+TPU-first redesign of reference src/operator/probe_lookup_implementation/
+(inner/full/left_outer/left_semi/left_anti/right_outer/right_semi/right_anti)
+and the shared match kernels (reference src/shared/shared.rs:29-92,
+src/shared/datafusion_private.rs:40-328):
+
+  * chain walking       -> cumsum/searchsorted candidate expansion (static shapes)
+  * equal_rows_arr      -> vectorized per-key-column equality recheck with
+                           validity (NULL keys never match; the reference rule
+                           rejects null_equals_null, use_parallel_hash_join_rule.rs:87-89)
+  * ConcurrentBitSet of visited build rows + last-stream finalizer
+    (reference full.rs:77-201) -> scatter-OR into a visited mask + an
+    unmatched-rows emit pass; XLA's phased dataflow replaces the barrier
+  * apply_join_filter_to_indices -> residual predicate evaluated on gathered
+    candidate pairs BEFORE match flags are folded into visited bits
+
+Naming convention matches the reference: the LEFT side is the build side, so
+LEFT/LEFT_SEMI/LEFT_ANTI are the types needing the visited-build tracking.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..utils.columnar import (DeviceTable, Schema, gather_table, hstack_tables,
+                              null_columns_like, concat_tables)
+from .hashing import hash_rows
+from .hash_table import (JoinStrategy, build_join_table, probe_candidates)
+
+
+class JoinType(enum.Enum):
+    INNER = "inner"
+    LEFT = "left"            # build-side outer
+    RIGHT = "right"          # probe-side outer
+    FULL = "full"
+    LEFT_SEMI = "left_semi"
+    LEFT_ANTI = "left_anti"
+    RIGHT_SEMI = "right_semi"
+    RIGHT_ANTI = "right_anti"
+
+    @property
+    def emits_build(self) -> bool:
+        return self in (JoinType.INNER, JoinType.LEFT, JoinType.RIGHT,
+                        JoinType.FULL, JoinType.LEFT_SEMI, JoinType.LEFT_ANTI)
+
+    @property
+    def emits_probe(self) -> bool:
+        return self in (JoinType.INNER, JoinType.LEFT, JoinType.RIGHT,
+                        JoinType.FULL, JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
+
+
+def join_output_schema(build: Schema, probe: Schema, join_type: JoinType) -> Schema:
+    fields = []
+    if join_type.emits_build:
+        fields += list(build.fields)
+    if join_type.emits_probe:
+        fields += list(probe.fields)
+    return Schema(fields)
+
+
+def _keys_valid(t: DeviceTable, keys: List[str]) -> jnp.ndarray:
+    v = None
+    for k in keys:
+        _, valid = t.column(k)
+        v = valid if v is None else (v & valid)
+    return v
+
+
+def _filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
+    """Compact rows where mask is True to the front (stable)."""
+    perm = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    n = jnp.sum(mask, dtype=jnp.int32)
+    row_valid = jnp.arange(t.capacity, dtype=jnp.int32) < n
+    return gather_table(t, perm, n, row_valid)
+
+
+def _null_side(schema: Schema, capacity: int, num_rows) -> DeviceTable:
+    return DeviceTable(schema, null_columns_like(schema, capacity),
+                       jnp.asarray(num_rows, jnp.int32))
+
+
+def hash_join(build: DeviceTable, probe: DeviceTable,
+              build_keys: List[str], probe_keys: List[str],
+              join_type: JoinType, out_cap: int,
+              strategy: JoinStrategy = JoinStrategy.CSR,
+              residual: Optional[Callable[[DeviceTable], Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+              ) -> Tuple[DeviceTable, jnp.ndarray]:
+    """Join two device tables. Fully jit-traceable, static shapes.
+
+    residual: optional predicate over the candidate pair table returning
+    (bool values, validity); NULL results reject the pair (SQL semantics).
+
+    Returns (result, candidate_total). The caller must check
+    candidate_total <= out_cap and retry with a larger out_cap otherwise.
+    """
+    assert len(build_keys) == len(probe_keys) >= 1
+    assert not (set(build.schema.names) & set(probe.schema.names)), \
+        "join inputs must have disjoint column names (planner qualifies them)"
+
+    bh = hash_rows([build.column(k) for k in build_keys])
+    ph = hash_rows([probe.column(k) for k in probe_keys])
+    bkv = _keys_valid(build, build_keys)
+    pkv = _keys_valid(probe, probe_keys)
+
+    table = build_join_table(bh, bkv, build.num_rows, strategy)
+    cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
+
+    # key-equality recheck by value (hash collisions, reference equal_rows_arr)
+    eq = cands.valid
+    for bk, pk in zip(build_keys, probe_keys):
+        bv, bvalid = build.column(bk)
+        pv, pvalid = probe.column(pk)
+        gb = jnp.take(bv, cands.build_idx, mode="clip")
+        gp = jnp.take(pv, cands.probe_idx, mode="clip")
+        gbv = jnp.take(bvalid, cands.build_idx, mode="clip")
+        gpv = jnp.take(pvalid, cands.probe_idx, mode="clip")
+        if gb.dtype != gp.dtype:
+            wide = jnp.promote_types(gb.dtype, gp.dtype)
+            gb, gp = gb.astype(wide), gp.astype(wide)
+        eq = eq & gbv & gpv & (gb == gp)
+    match = eq
+
+    if residual is not None:
+        cand_rows = jnp.arange(out_cap, dtype=jnp.int32)
+        bt = gather_table(build, cands.build_idx, out_cap,
+                          cand_rows < out_cap)
+        pt = gather_table(probe, cands.probe_idx, out_cap,
+                          cand_rows < out_cap)
+        pair_tbl = hstack_tables(bt, pt, out_cap)
+        rvals, rvalid = residual(pair_tbl)
+        match = match & rvalid & rvals
+
+    # visited/matched flags (reference ConcurrentBitSet analog)
+    bcap, mcap = build.capacity, probe.capacity
+    visited = jnp.zeros((bcap,), jnp.bool_).at[
+        jnp.where(match, cands.build_idx, bcap)].set(True, mode="drop")
+    probe_matched = jnp.zeros((mcap,), jnp.bool_).at[
+        jnp.where(match, cands.probe_idx, mcap)].set(True, mode="drop")
+
+    build_in = build.row_mask()
+    probe_in = probe.row_mask()
+
+    def pairs_table() -> DeviceTable:
+        perm = jnp.argsort(~match, stable=True).astype(jnp.int32)
+        n = jnp.sum(match, dtype=jnp.int32)
+        ok = jnp.arange(out_cap, dtype=jnp.int32) < n
+        bt = gather_table(build, jnp.take(cands.build_idx, perm), n, ok)
+        pt = gather_table(probe, jnp.take(cands.probe_idx, perm), n, ok)
+        return hstack_tables(bt, pt, n)
+
+    def unmatched_build() -> DeviceTable:
+        ub = _filter_rows(build, build_in & ~visited)
+        nulls = _null_side(probe.schema, ub.capacity, ub.num_rows)
+        return hstack_tables(ub, nulls, ub.num_rows)
+
+    def unmatched_probe() -> DeviceTable:
+        up = _filter_rows(probe, probe_in & ~probe_matched)
+        nulls = _null_side(build.schema, up.capacity, up.num_rows)
+        return hstack_tables(nulls, up, up.num_rows)
+
+    if join_type is JoinType.INNER:
+        result = pairs_table()
+    elif join_type is JoinType.LEFT:
+        result = concat_tables([pairs_table(), unmatched_build()])
+    elif join_type is JoinType.RIGHT:
+        result = concat_tables([pairs_table(), unmatched_probe()])
+    elif join_type is JoinType.FULL:
+        result = concat_tables([pairs_table(), unmatched_build(),
+                                unmatched_probe()])
+    elif join_type is JoinType.LEFT_SEMI:
+        result = _filter_rows(build, build_in & visited)
+    elif join_type is JoinType.LEFT_ANTI:
+        result = _filter_rows(build, build_in & ~visited)
+    elif join_type is JoinType.RIGHT_SEMI:
+        result = _filter_rows(probe, probe_in & probe_matched)
+    elif join_type is JoinType.RIGHT_ANTI:
+        result = _filter_rows(probe, probe_in & ~probe_matched)
+    else:  # pragma: no cover
+        raise ValueError(join_type)
+    return result, cands.total

@@ -1,0 +1,440 @@
+"""Columnar substrate: host tables and fixed-capacity device tables.
+
+TPU-first data model (analog of the reference's Arrow RecordBatch layer,
+cf. reference `src/api_utils.rs`, `src/utils/static_table.rs`):
+
+  * A column is `(values, validity)` — two dense arrays. No offsets/varlen on
+    device: strings are dictionary-encoded to int32 codes at ingest, the
+    dictionary stays on the host.
+  * A `DeviceTable` has a STATIC capacity (power of two) and a traced
+    `num_rows` scalar. Rows past `num_rows` are padding. Every kernel masks by
+    `iota < num_rows`. This is what makes the whole engine jit-compatible:
+    data-dependent row counts never change array shapes.
+  * `DeviceTable` is a pytree: arrays + num_rows are leaves; the schema
+    (including string dictionaries, hashed by identity) is static aux data, so
+    jit caches per (schema, capacity) signature.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def round_capacity(n: int, minimum: int = 128) -> int:
+    """Round a row count up to the next power of two (bounded recompiles)."""
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+class Kind(enum.Enum):
+    INT32 = "int32"
+    INT64 = "int64"
+    FLOAT32 = "float32"
+    FLOAT64 = "float64"
+    BOOL = "bool"
+    DATE32 = "date32"      # days since 1970-01-01, int32 on device
+    STRING = "string"      # dictionary codes, int32 on device
+    DECIMAL = "decimal"    # fixed-point int64 (value * 10**scale)
+
+
+_DEVICE_DTYPE = {
+    Kind.INT32: jnp.int32,
+    Kind.INT64: jnp.int64,
+    Kind.FLOAT32: jnp.float32,
+    Kind.FLOAT64: jnp.float64,
+    Kind.BOOL: jnp.bool_,
+    Kind.DATE32: jnp.int32,
+    Kind.STRING: jnp.int32,
+    Kind.DECIMAL: jnp.int64,
+}
+
+
+@dataclass(frozen=True)
+class DType:
+    kind: Kind
+    scale: int = 0  # decimal scale only
+
+    @property
+    def device_dtype(self):
+        return _DEVICE_DTYPE[self.kind]
+
+    def __repr__(self):
+        if self.kind is Kind.DECIMAL:
+            return f"decimal(.,{self.scale})"
+        return self.kind.value
+
+
+INT32 = DType(Kind.INT32)
+INT64 = DType(Kind.INT64)
+FLOAT32 = DType(Kind.FLOAT32)
+FLOAT64 = DType(Kind.FLOAT64)
+BOOL = DType(Kind.BOOL)
+DATE32 = DType(Kind.DATE32)
+STRING = DType(Kind.STRING)
+
+
+def DECIMAL(scale: int) -> DType:
+    return DType(Kind.DECIMAL, scale)
+
+
+class Dictionary:
+    """String dictionary (host side). Hash/eq by identity: the same ingested
+    table always presents the same object, so jit caches are stable."""
+
+    __slots__ = ("values", "_index")
+
+    def __init__(self, values: np.ndarray):
+        self.values = np.asarray(values, dtype=object)
+        self._index: Optional[dict] = None
+
+    def index(self) -> dict:
+        if self._index is None:
+            self._index = {v: i for i, v in enumerate(self.values)}
+        return self._index
+
+    def code_of(self, s) -> int:
+        """Code of string s, or -1 if absent."""
+        return self.index().get(s, -1)
+
+    def __len__(self):
+        return len(self.values)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __repr__(self):
+        return f"Dictionary(n={len(self.values)}, id={id(self):#x})"
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    dtype: DType
+    nullable: bool = True
+    dictionary: Optional[Dictionary] = None
+
+    def with_name(self, name: str) -> "Field":
+        return replace(self, name=name)
+
+
+@dataclass(frozen=True)
+class Schema:
+    fields: Tuple[Field, ...]
+
+    def __init__(self, fields: Sequence[Field]):
+        object.__setattr__(self, "fields", tuple(fields))
+        names = [f.name for f in self.fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate column names in schema: {names}")
+
+    @property
+    def names(self) -> List[str]:
+        return [f.name for f in self.fields]
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"no column {name!r}; have {self.names}")
+
+    def index_of(self, name: str) -> int:
+        for i, f in enumerate(self.fields):
+            if f.name == name:
+                return i
+        raise KeyError(name)
+
+    def __len__(self):
+        return len(self.fields)
+
+
+# ---------------------------------------------------------------------------
+# Host table
+# ---------------------------------------------------------------------------
+
+_HOST_DTYPE = {
+    Kind.INT32: np.int32,
+    Kind.INT64: np.int64,
+    Kind.FLOAT32: np.float32,
+    Kind.FLOAT64: np.float64,
+    Kind.BOOL: np.bool_,
+    Kind.DATE32: np.int32,
+    Kind.STRING: np.int32,
+    Kind.DECIMAL: np.int64,
+}
+
+_EPOCH = np.datetime64("1970-01-01", "D")
+
+
+def date32_of(s: str) -> int:
+    """'1994-03-15' -> days since epoch."""
+    return int((np.datetime64(s, "D") - _EPOCH).astype(np.int64))
+
+
+class HostTable:
+    """Host-resident columnar table: numpy values + validity per column."""
+
+    def __init__(self, schema: Schema, columns: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                 num_rows: int):
+        self.schema = schema
+        self.columns = columns
+        self.num_rows = int(num_rows)
+
+    @staticmethod
+    def from_pydict(data: Dict[str, list], dtypes: Optional[Dict[str, DType]] = None
+                    ) -> "HostTable":
+        """Build from python lists; None means null. Strings dict-encode."""
+        dtypes = dtypes or {}
+        fields, columns = [], {}
+        num_rows = None
+        for name, vals in data.items():
+            vals = list(vals)
+            if num_rows is None:
+                num_rows = len(vals)
+            elif num_rows != len(vals):
+                raise ValueError("ragged columns")
+            validity = np.array([v is not None for v in vals], dtype=np.bool_)
+            dt = dtypes.get(name)
+            dictionary = None
+            nonnull = [v for v in vals if v is not None]
+            if dt is None:
+                if any(isinstance(v, str) for v in nonnull):
+                    dt = STRING
+                elif any(isinstance(v, float) for v in nonnull):
+                    dt = FLOAT64
+                elif all(isinstance(v, (bool, np.bool_)) for v in nonnull) and nonnull:
+                    dt = BOOL
+                else:
+                    dt = INT32
+                    if any(abs(int(v)) > 2**31 - 1 for v in nonnull):
+                        dt = INT64
+            if dt.kind is Kind.STRING:
+                uniq = sorted({v for v in nonnull})
+                dictionary = Dictionary(np.array(uniq, dtype=object))
+                idx = dictionary.index()
+                values = np.array([idx[v] if v is not None else 0 for v in vals],
+                                  dtype=np.int32)
+            else:
+                np_dt = _HOST_DTYPE[dt.kind]
+                fill = np_dt(0)
+                if dt.kind is Kind.DECIMAL:
+                    scale = 10 ** dt.scale
+                    values = np.array(
+                        [np.int64(round(float(v) * scale)) if v is not None else fill
+                         for v in vals], dtype=np_dt)
+                elif dt.kind is Kind.DATE32:
+                    values = np.array(
+                        [date32_of(v) if isinstance(v, str) else (v if v is not None else 0)
+                         for v in vals], dtype=np_dt)
+                else:
+                    values = np.array([v if v is not None else fill for v in vals],
+                                      dtype=np_dt)
+            fields.append(Field(name, dt, nullable=not validity.all(),
+                                dictionary=dictionary))
+            columns[name] = (values, validity)
+        return HostTable(Schema(fields), columns, num_rows or 0)
+
+    @staticmethod
+    def from_numpy(data: Dict[str, np.ndarray],
+                   dtypes: Optional[Dict[str, DType]] = None,
+                   dictionaries: Optional[Dict[str, Dictionary]] = None,
+                   validity: Optional[Dict[str, np.ndarray]] = None) -> "HostTable":
+        dtypes = dtypes or {}
+        dictionaries = dictionaries or {}
+        validity = validity or {}
+        fields, columns = [], {}
+        num_rows = None
+        for name, arr in data.items():
+            arr = np.asarray(arr)
+            if num_rows is None:
+                num_rows = len(arr)
+            dt = dtypes.get(name)
+            if dt is None:
+                dt = {np.dtype(np.int32): INT32, np.dtype(np.int64): INT64,
+                      np.dtype(np.float32): FLOAT32, np.dtype(np.float64): FLOAT64,
+                      np.dtype(np.bool_): BOOL}[arr.dtype]
+            valid = validity.get(name)
+            if valid is None:
+                valid = np.ones(len(arr), dtype=np.bool_)
+            fields.append(Field(name, dt, nullable=not valid.all(),
+                                dictionary=dictionaries.get(name)))
+            columns[name] = (arr.astype(_HOST_DTYPE[dt.kind], copy=False), valid)
+        return HostTable(Schema(fields), columns, num_rows or 0)
+
+    def to_device(self, capacity: Optional[int] = None) -> "DeviceTable":
+        cap = capacity or round_capacity(self.num_rows)
+        if cap < self.num_rows:
+            raise ValueError("capacity < num_rows")
+        cols = {}
+        for f in self.schema.fields:
+            v, valid = self.columns[f.name]
+            pad = cap - len(v)
+            if pad:
+                v = np.concatenate([v, np.zeros(pad, dtype=v.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, dtype=np.bool_)])
+            cols[f.name] = (jnp.asarray(v), jnp.asarray(valid))
+        return DeviceTable(self.schema, cols, jnp.int32(self.num_rows))
+
+    def to_pylist(self) -> List[dict]:
+        out = []
+        for i in range(self.num_rows):
+            row = {}
+            for f in self.schema.fields:
+                v, valid = self.columns[f.name]
+                if not valid[i]:
+                    row[f.name] = None
+                elif f.dtype.kind is Kind.STRING:
+                    row[f.name] = f.dictionary.values[int(v[i])]
+                elif f.dtype.kind is Kind.DECIMAL:
+                    row[f.name] = int(v[i]) / (10 ** f.dtype.scale)
+                elif f.dtype.kind is Kind.BOOL:
+                    row[f.name] = bool(v[i])
+                elif f.dtype.kind in (Kind.FLOAT32, Kind.FLOAT64):
+                    row[f.name] = float(v[i])
+                else:
+                    row[f.name] = int(v[i])
+            out.append(row)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Device table (a jax pytree)
+# ---------------------------------------------------------------------------
+
+class DeviceTable:
+    """Fixed-capacity device-resident columnar table.
+
+    columns: name -> (values[capacity], validity[capacity]) jnp arrays
+    num_rows: traced int32 scalar
+    """
+
+    __slots__ = ("schema", "columns", "num_rows")
+
+    def __init__(self, schema: Schema,
+                 columns: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+                 num_rows):
+        self.schema = schema
+        self.columns = columns
+        self.num_rows = num_rows
+
+    @property
+    def capacity(self) -> int:
+        for v, _ in self.columns.values():
+            return int(v.shape[0])
+        return 0
+
+    def column(self, name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.columns[name]
+
+    def row_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.num_rows
+
+    def rename(self, mapping: Dict[str, str]) -> "DeviceTable":
+        fields = [f.with_name(mapping.get(f.name, f.name)) for f in self.schema.fields]
+        cols = {mapping.get(n, n): c for n, c in self.columns.items()}
+        return DeviceTable(Schema(fields), cols, self.num_rows)
+
+    def select(self, names: Sequence[str]) -> "DeviceTable":
+        fields = [self.schema.field(n) for n in names]
+        cols = {n: self.columns[n] for n in names}
+        return DeviceTable(Schema(fields), cols, self.num_rows)
+
+    def to_host(self) -> HostTable:
+        n = int(self.num_rows)
+        cols = {}
+        for f in self.schema.fields:
+            v, valid = self.columns[f.name]
+            cols[f.name] = (np.asarray(v)[:n], np.asarray(valid)[:n])
+        return HostTable(self.schema, cols, n)
+
+    def __repr__(self):
+        return (f"DeviceTable(cap={self.capacity}, cols={self.schema.names})")
+
+
+def _dt_flatten(t: DeviceTable):
+    names = tuple(sorted(t.columns.keys()))
+    children = tuple(t.columns[n] for n in names) + (t.num_rows,)
+    return children, (t.schema, names)
+
+
+def _dt_unflatten(aux, children):
+    schema, names = aux
+    cols = {n: children[i] for i, n in enumerate(names)}
+    return DeviceTable(schema, cols, children[-1])
+
+
+jax.tree_util.register_pytree_node(DeviceTable, _dt_flatten, _dt_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# Table-level device ops used across the engine
+# ---------------------------------------------------------------------------
+
+def gather_table(t: DeviceTable, indices: jnp.ndarray, new_num_rows,
+                 row_valid: Optional[jnp.ndarray] = None) -> DeviceTable:
+    """New table of capacity len(indices): row j = t[indices[j]].
+
+    `row_valid[j] = False` nulls the whole row (used for outer-join padding).
+    """
+    cols = {}
+    for f in t.schema.fields:
+        v, valid = t.columns[f.name]
+        gv = jnp.take(v, indices, mode="clip")
+        gvalid = jnp.take(valid, indices, mode="clip")
+        if row_valid is not None:
+            gvalid = gvalid & row_valid
+        cols[f.name] = (gv, gvalid)
+    return DeviceTable(t.schema, cols, jnp.asarray(new_num_rows, jnp.int32))
+
+
+def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+    cols = {}
+    for f in schema.fields:
+        cols[f.name] = (jnp.zeros((capacity,), dtype=f.dtype.device_dtype),
+                        jnp.zeros((capacity,), dtype=jnp.bool_))
+    return cols
+
+
+def hstack_tables(a: DeviceTable, b: DeviceTable, num_rows) -> DeviceTable:
+    """Combine columns of two same-capacity tables (e.g. join pair output)."""
+    assert a.capacity == b.capacity, (a.capacity, b.capacity)
+    fields = list(a.schema.fields) + list(b.schema.fields)
+    cols = dict(a.columns)
+    cols.update(b.columns)
+    return DeviceTable(Schema(fields), cols, jnp.asarray(num_rows, jnp.int32))
+
+
+def concat_tables(parts: Sequence[DeviceTable]) -> DeviceTable:
+    """Stack tables with identical schemas. Each part's valid rows are packed
+    at its front; result rows are compacted so all valid rows are contiguous."""
+    assert len(parts) >= 1
+    schema = parts[0].schema
+    total_cap = sum(p.capacity for p in parts)
+    # Global position of each part's row r: sum of previous num_rows + r.
+    idx_parts = []
+    offset = jnp.int32(0)
+    for p in parts:
+        r = jnp.arange(p.capacity, dtype=jnp.int32)
+        in_row = r < p.num_rows
+        # rows past num_rows scatter out of bounds and are dropped
+        idx_parts.append(jnp.where(in_row, offset + r, total_cap))
+        offset = offset + p.num_rows
+    total = offset
+    cols = {}
+    for f in schema.fields:
+        vs = jnp.zeros((total_cap,), dtype=f.dtype.device_dtype)
+        vd = jnp.zeros((total_cap,), dtype=jnp.bool_)
+        for p, idx in zip(parts, idx_parts):
+            v, valid = p.columns[f.name]
+            vs = vs.at[idx].set(v, mode="drop")
+            vd = vd.at[idx].set(valid, mode="drop")
+        cols[f.name] = (vs, vd)
+    return DeviceTable(schema, cols, total)
