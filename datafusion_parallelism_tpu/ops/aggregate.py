@@ -1,0 +1,190 @@
+"""Hash aggregate: sort-based grouping + segment reductions.
+
+TPU-native design: instead of a concurrent grouping hash table, rows are
+sorted by group-key hash (one XLA sort), group boundaries come from adjacent
+comparison (including validity — SQL GROUP BY treats NULLs as one group), and
+every aggregate is a `jax.ops.segment_*` reduction with a static segment
+capacity. Hash collisions across distinct keys are handled exactly: the
+boundary test compares the actual key values, not just hashes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.columnar import (DeviceTable, DType, Field, Kind, Schema,
+                              FLOAT64, INT64, gather_table)
+from .hashing import hash_rows
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    func: str                 # 'sum' | 'count' | 'count_star' | 'min' | 'max' | 'avg'
+    input: Optional[str]      # input column name (None for count_star)
+    output: str               # output column name
+
+
+def _agg_output_dtype(func: str, in_dtype: Optional[DType]) -> DType:
+    if func in ("count", "count_star"):
+        return INT64
+    if func == "avg":
+        return FLOAT64
+    if func == "sum":
+        if in_dtype.kind in (Kind.INT32, Kind.INT64):
+            return INT64
+        if in_dtype.kind is Kind.DECIMAL:
+            return in_dtype
+        return FLOAT64 if in_dtype.kind is Kind.FLOAT64 else in_dtype
+    return in_dtype  # min/max
+
+
+def agg_output_schema(t_schema: Schema, group_keys: List[str],
+                      aggs: List[AggSpec]) -> Schema:
+    fields = [t_schema.field(k) for k in group_keys]
+    for a in aggs:
+        in_dt = t_schema.field(a.input).dtype if a.input else None
+        nullable = a.func not in ("count", "count_star")
+        fields.append(Field(a.output, _agg_output_dtype(a.func, in_dt), nullable))
+    return Schema(fields)
+
+
+def hash_aggregate(t: DeviceTable, group_keys: List[str],
+                   aggs: List[AggSpec]) -> DeviceTable:
+    """Group + aggregate; output capacity == input capacity (worst case all
+    rows distinct). Fully jit-traceable."""
+    cap = t.capacity
+    out_schema = agg_output_schema(t.schema, group_keys, aggs)
+
+    if not group_keys:
+        return _global_aggregate(t, aggs, out_schema)
+
+    in_row = t.row_mask()
+    h = hash_rows([t.column(k) for k in group_keys])
+    # padding rows sort to the top via a sentinel above any uint32
+    sort_key = jnp.where(in_row, h.astype(jnp.int64), jnp.int64(1) << 33)
+    perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+    sorted_in_row = jnp.take(in_row, perm)
+
+    # group boundary: first row, or any group-key column differs from previous
+    prev = jnp.concatenate([perm[:1], perm[:-1]])  # prev row id in sorted order
+    boundary = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
+    hs = jnp.take(h, perm)
+    boundary = boundary | (hs != jnp.concatenate([hs[:1], hs[:-1]]))
+    for k in group_keys:
+        v, valid = t.column(k)
+        cv, cvalid = jnp.take(v, perm), jnp.take(valid, perm)
+        pv, pvalid = jnp.take(v, prev), jnp.take(valid, prev)
+        same = (cvalid & pvalid & (cv == pv)) | (~cvalid & ~pvalid)
+        boundary = boundary | ~same
+    boundary = boundary & sorted_in_row
+    # also open a boundary at the first padding row so padding lands in its own
+    # trailing segment (group id >= n_groups, sliced away by num_rows)
+    first_pad = (~sorted_in_row) & jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_in_row[:-1]])
+    seg = jnp.cumsum((boundary | first_pad).astype(jnp.int32)) - 1
+    seg = jnp.maximum(seg, 0)
+    n_groups = jnp.sum(boundary, dtype=jnp.int32)
+
+    cols = {}
+    # group key values: the first sorted row of each segment
+    bpos = jnp.argsort(~boundary, stable=True).astype(jnp.int32)  # boundary rows first
+    rep_rows = jnp.take(perm, bpos)  # representative original row per group
+    ok = jnp.arange(cap, dtype=jnp.int32) < n_groups
+    rep = gather_table(t, rep_rows, n_groups, ok)
+    for k in group_keys:
+        cols[k] = rep.columns[k]
+
+    ones = sorted_in_row.astype(jnp.int64)
+    for a in aggs:
+        if a.func == "count_star":
+            v = jax.ops.segment_sum(ones, seg, num_segments=cap)
+            cols[a.output] = (v, ok)
+            continue
+        dv, dvalid = t.column(a.input)
+        sv = jnp.take(dv, perm)
+        svalid = jnp.take(dvalid, perm) & sorted_in_row
+        cnt = jax.ops.segment_sum(svalid.astype(jnp.int64), seg, num_segments=cap)
+        if a.func == "count":
+            cols[a.output] = (cnt, ok)
+            continue
+        out_dt = out_schema.field(a.output).dtype
+        if a.func in ("sum", "avg"):
+            acc_dtype = jnp.float64 if out_dt.kind is Kind.FLOAT64 else jnp.int64
+            if sv.dtype in (jnp.float32, jnp.float64):
+                acc_dtype = jnp.float64
+            data = jnp.where(svalid, sv, 0).astype(acc_dtype)
+            s = jax.ops.segment_sum(data, seg, num_segments=cap)
+            if a.func == "avg":
+                c = jnp.maximum(cnt, 1)
+                v = s.astype(jnp.float64) / c
+                if t.schema.field(a.input).dtype.kind is Kind.DECIMAL:
+                    v = v / (10.0 ** t.schema.field(a.input).dtype.scale)
+                cols[a.output] = (v, ok & (cnt > 0))
+            else:
+                cols[a.output] = (s.astype(out_dt.device_dtype), ok & (cnt > 0))
+        elif a.func in ("min", "max"):
+            if a.func == "min":
+                fill = _dtype_max(sv.dtype)
+                data = jnp.where(svalid, sv, fill)
+                v = jax.ops.segment_min(data, seg, num_segments=cap)
+            else:
+                fill = _dtype_min(sv.dtype)
+                data = jnp.where(svalid, sv, fill)
+                v = jax.ops.segment_max(data, seg, num_segments=cap)
+            cols[a.output] = (v.astype(out_dt.device_dtype), ok & (cnt > 0))
+        else:
+            raise ValueError(a.func)
+    return DeviceTable(out_schema, cols, n_groups)
+
+
+def _dtype_max(dt):
+    if dt in (jnp.float32, jnp.float64):
+        return jnp.array(jnp.inf, dt)
+    return jnp.array(jnp.iinfo(dt).max, dt)
+
+
+def _dtype_min(dt):
+    if dt in (jnp.float32, jnp.float64):
+        return jnp.array(-jnp.inf, dt)
+    return jnp.array(jnp.iinfo(dt).min, dt)
+
+
+def _global_aggregate(t: DeviceTable, aggs: List[AggSpec],
+                      out_schema: Schema) -> DeviceTable:
+    in_row = t.row_mask()
+    cols = {}
+    for a in aggs:
+        if a.func == "count_star":
+            v = jnp.sum(in_row, dtype=jnp.int64)
+            cols[a.output] = (v[None], jnp.ones((1,), jnp.bool_))
+            continue
+        dv, dvalid = t.column(a.input)
+        ok = dvalid & in_row
+        cnt = jnp.sum(ok, dtype=jnp.int64)
+        out_dt = out_schema.field(a.output).dtype
+        if a.func == "count":
+            cols[a.output] = (cnt[None], jnp.ones((1,), jnp.bool_))
+        elif a.func in ("sum", "avg"):
+            acc = jnp.float64 if (out_dt.kind is Kind.FLOAT64 or
+                                  dv.dtype in (jnp.float32, jnp.float64)) else jnp.int64
+            s = jnp.sum(jnp.where(ok, dv, 0).astype(acc))
+            if a.func == "avg":
+                v = s.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                if t.schema.field(a.input).dtype.kind is Kind.DECIMAL:
+                    v = v / (10.0 ** t.schema.field(a.input).dtype.scale)
+            else:
+                v = s.astype(out_dt.device_dtype)
+            cols[a.output] = (v[None], (cnt > 0)[None])
+        elif a.func == "min":
+            v = jnp.min(jnp.where(ok, dv, _dtype_max(dv.dtype)))
+            cols[a.output] = (v[None].astype(out_dt.device_dtype), (cnt > 0)[None])
+        elif a.func == "max":
+            v = jnp.max(jnp.where(ok, dv, _dtype_min(dv.dtype)))
+            cols[a.output] = (v[None].astype(out_dt.device_dtype), (cnt > 0)[None])
+        else:
+            raise ValueError(a.func)
+    return DeviceTable(out_schema, cols, jnp.int32(1))

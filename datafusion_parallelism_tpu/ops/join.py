@@ -27,7 +27,8 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, Schema, gather_table, hstack_tables,
-                              null_columns_like, concat_tables)
+                              null_columns_like, concat_tables,
+                              filter_rows as _filter_rows)
 from .hashing import hash_rows
 from .hash_table import (JoinStrategy, build_join_table, probe_candidates)
 
@@ -68,14 +69,6 @@ def _keys_valid(t: DeviceTable, keys: List[str]) -> jnp.ndarray:
         _, valid = t.column(k)
         v = valid if v is None else (v & valid)
     return v
-
-
-def _filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
-    """Compact rows where mask is True to the front (stable)."""
-    perm = jnp.argsort(~mask, stable=True).astype(jnp.int32)
-    n = jnp.sum(mask, dtype=jnp.int32)
-    row_valid = jnp.arange(t.capacity, dtype=jnp.int32) < n
-    return gather_table(t, perm, n, row_valid)
 
 
 def _null_side(schema: Schema, capacity: int, num_rows) -> DeviceTable:

@@ -395,6 +395,17 @@ def gather_table(t: DeviceTable, indices: jnp.ndarray, new_num_rows,
     return DeviceTable(t.schema, cols, jnp.asarray(new_num_rows, jnp.int32))
 
 
+def filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
+    """Compact rows where mask is True to the front (stable order).
+
+    The prefix-sum + stable-sort compaction idiom replacing Arrow's
+    FilterBuilder in the reference probe path."""
+    perm = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    n = jnp.sum(mask, dtype=jnp.int32)
+    row_valid = jnp.arange(t.capacity, dtype=jnp.int32) < n
+    return gather_table(t, perm, n, row_valid)
+
+
 def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
     cols = {}
     for f in schema.fields:

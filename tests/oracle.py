@@ -29,11 +29,22 @@ def sort_rows(rows: List[dict], names=None):
     return sorted(rows, key=lambda r: rows_key(r, names))
 
 
+def _vals_equal(x, y) -> bool:
+    if x is None or y is None:
+        return x is y
+    if isinstance(x, float) or isinstance(y, float):
+        import math
+        return math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+    return x == y
+
+
 def assert_rows_equal(actual: List[dict], expected: List[dict]):
     names = sorted({k for r in expected for k in r} | {k for r in actual for k in r})
     a = sort_rows([{n: r.get(n) for n in names} for r in actual], names)
     e = sort_rows([{n: r.get(n) for n in names} for r in expected], names)
-    assert a == e, f"rows differ:\n actual ({len(a)}): {a[:20]}\n expected ({len(e)}): {e[:20]}"
+    ok = len(a) == len(e) and all(
+        all(_vals_equal(ra[n], re[n]) for n in names) for ra, re in zip(a, e))
+    assert ok, f"rows differ:\n actual ({len(a)}): {a[:20]}\n expected ({len(e)}): {e[:20]}"
 
 
 def _key_match(brow, prow, bkeys, pkeys):

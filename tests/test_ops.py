@@ -1,0 +1,193 @@
+"""Expression / filter / aggregate / sort op tests against python oracles."""
+
+import math
+import random
+
+import jax
+import pytest
+
+from datafusion_parallelism_tpu.utils.columnar import HostTable, DECIMAL
+from datafusion_parallelism_tpu.ops.expressions import (BinOp, Case, Cast, Col,
+                                                        Coalesce, ExtractDatePart,
+                                                        InCodes, IsNull, Lit, Not)
+from datafusion_parallelism_tpu.utils.columnar import INT32, INT64, FLOAT64, BOOL, DATE32, date32_of
+from datafusion_parallelism_tpu.ops.filter import filter_table
+from datafusion_parallelism_tpu.ops.project import project_table
+from datafusion_parallelism_tpu.ops.aggregate import AggSpec, hash_aggregate
+from datafusion_parallelism_tpu.ops.sort import SortKey, limit_table, sort_table
+
+from oracle import assert_rows_equal
+
+
+def dt(data, **kw):
+    return HostTable.from_pydict(data, **kw).to_device()
+
+
+def test_arith_and_comparison_with_nulls():
+    t = dt({"a": [1, 2, None, 4], "b": [10, None, 30, 40]})
+    out = project_table(t, [
+        (BinOp("+", Col("a"), Col("b")), "s"),
+        (BinOp("<", Col("a"), Lit(3, INT32)), "lt"),
+        (IsNull(Col("a")), "an"),
+    ])
+    rows = out.to_host().to_pylist()
+    assert [r["s"] for r in rows] == [11, None, None, 44]
+    assert [r["lt"] for r in rows] == [True, True, None, False]
+    assert [r["an"] for r in rows] == [False, False, True, False]
+
+
+def test_three_valued_logic():
+    t = dt({"a": [True, True, None, False, None], "b": [True, None, False, None, None]})
+    out = project_table(t, [
+        (BinOp("and", Col("a"), Col("b")), "and_"),
+        (BinOp("or", Col("a"), Col("b")), "or_"),
+    ])
+    rows = out.to_host().to_pylist()
+    assert [r["and_"] for r in rows] == [True, None, False, False, None]
+    assert [r["or_"] for r in rows] == [True, True, None, None, None]
+
+
+def test_filter_null_rejects():
+    t = dt({"a": [1, None, 3, 4], "v": [10, 20, 30, 40]})
+    out = filter_table(t, BinOp(">", Col("a"), Lit(1, INT32)))
+    rows = out.to_host().to_pylist()
+    assert [r["v"] for r in rows] == [30, 40]
+
+
+def test_case_and_coalesce():
+    t = dt({"a": [1, 2, 3, None]})
+    out = project_table(t, [
+        (Case([(BinOp("=", Col("a"), Lit(1, INT32)), Lit(100, INT32)),
+               (BinOp("=", Col("a"), Lit(2, INT32)), Lit(200, INT32))],
+              Lit(0, INT32)), "c"),
+        (Coalesce([Col("a"), Lit(-1, INT32)]), "co"),
+    ])
+    rows = out.to_host().to_pylist()
+    assert [r["c"] for r in rows] == [100, 200, 0, 0]
+    assert [r["co"] for r in rows] == [1, 2, 3, -1]
+
+
+def test_extract_date_parts():
+    dates = ["1992-01-01", "1995-06-17", "1998-12-31", "2000-02-29"]
+    t = dt({"d": dates}, dtypes={"d": DATE32})
+    out = project_table(t, [
+        (ExtractDatePart("year", Col("d")), "y"),
+        (ExtractDatePart("month", Col("d")), "m"),
+        (ExtractDatePart("day", Col("d")), "dd"),
+    ])
+    rows = out.to_host().to_pylist()
+    assert [r["y"] for r in rows] == [1992, 1995, 1998, 2000]
+    assert [r["m"] for r in rows] == [1, 6, 12, 2]
+    assert [r["dd"] for r in rows] == [1, 17, 31, 29]
+
+
+def test_in_codes_string_predicate():
+    t = dt({"s": ["apple", "banana", "cherry", None, "apple"]})
+    d = t.schema.field("s").dictionary
+    import numpy as np
+    codes = np.array([d.code_of("apple"), d.code_of("cherry")], dtype=np.int32)
+    out = filter_table(t, InCodes(Col("s"), codes))
+    rows = out.to_host().to_pylist()
+    assert [r["s"] for r in rows] == ["apple", "cherry", "apple"]
+
+
+def test_decimal_arithmetic():
+    t = dt({"price": [10.50, 3.25], "disc": [0.10, 0.00]},
+           dtypes={"price": DECIMAL(2), "disc": DECIMAL(2)})
+    out = project_table(t, [
+        (BinOp("*", Col("price"), BinOp("-", Lit(1, INT32), Col("disc"))), "rev"),
+    ])
+    rows = out.to_host().to_pylist()
+    assert abs(rows[0]["rev"] - 10.50 * 0.9) < 1e-9
+    assert abs(rows[1]["rev"] - 3.25) < 1e-9
+
+
+def test_aggregate_grouped():
+    rng = random.Random(5)
+    ks = [rng.randrange(6) if rng.random() > 0.1 else None for _ in range(200)]
+    vs = [rng.randrange(100) if rng.random() > 0.1 else None for _ in range(200)]
+    t = dt({"k": ks, "v": vs})
+    out = hash_aggregate(t, ["k"], [
+        AggSpec("sum", "v", "s"), AggSpec("count", "v", "c"),
+        AggSpec("count_star", None, "cs"), AggSpec("min", "v", "mn"),
+        AggSpec("max", "v", "mx"), AggSpec("avg", "v", "a"),
+    ])
+    rows = out.to_host().to_pylist()
+    groups = {}
+    for k, v in zip(ks, vs):
+        groups.setdefault(k, []).append(v)
+    expected = []
+    for k, vals in groups.items():
+        nn = [v for v in vals if v is not None]
+        expected.append({
+            "k": k, "s": sum(nn) if nn else None, "c": len(nn), "cs": len(vals),
+            "mn": min(nn) if nn else None, "mx": max(nn) if nn else None,
+            "a": (sum(nn) / len(nn)) if nn else None,
+        })
+    assert_rows_equal(rows, expected)
+
+
+def test_aggregate_global():
+    t = dt({"v": [1, 2, None, 4]})
+    out = hash_aggregate(t, [], [AggSpec("sum", "v", "s"),
+                                 AggSpec("count_star", None, "c"),
+                                 AggSpec("avg", "v", "a")])
+    rows = out.to_host().to_pylist()
+    assert_rows_equal(rows, [{"s": 7, "c": 4, "a": 7 / 3}])
+
+
+def test_aggregate_empty_input():
+    t = dt({"k": [1], "v": [1]})
+    t = filter_table(t, BinOp("<", Col("v"), Lit(0, INT32)))  # empty
+    out = hash_aggregate(t, ["k"], [AggSpec("sum", "v", "s")])
+    assert out.to_host().to_pylist() == []
+
+
+def test_aggregate_hash_collision_groups():
+    # many distinct keys; a 32-bit hash over a small table will not collide
+    # here, but the boundary check compares values so collisions are safe by
+    # construction — this test exercises many groups + multi-key grouping
+    t = dt({"a": [i % 13 for i in range(100)], "b": [i % 7 for i in range(100)],
+            "v": list(range(100))})
+    out = hash_aggregate(t, ["a", "b"], [AggSpec("sum", "v", "s")])
+    rows = out.to_host().to_pylist()
+    groups = {}
+    for i in range(100):
+        groups.setdefault((i % 13, i % 7), 0)
+        groups[(i % 13, i % 7)] += i
+    expected = [{"a": a, "b": b, "s": s} for (a, b), s in groups.items()]
+    assert_rows_equal(rows, expected)
+
+
+def test_sort_multi_key_nulls_and_desc():
+    t = dt({"a": [3, 1, None, 2, 1], "b": [1.0, None, 2.0, 0.5, 9.0]})
+    out = sort_table(t, [SortKey("a", ascending=True, nulls_first=False),
+                         SortKey("b", ascending=False, nulls_first=True)])
+    rows = out.to_host().to_pylist()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        (1, None), (1, 9.0), (2, 0.5), (3, 1.0), (None, 2.0)]
+
+
+def test_sort_strings_and_limit():
+    t = dt({"s": ["pear", "apple", None, "fig"]})
+    out = sort_table(t, [SortKey("s")])
+    rows = out.to_host().to_pylist()
+    assert [r["s"] for r in rows] == ["apple", "fig", "pear", None]
+    out2 = limit_table(out, 2)
+    assert [r["s"] for r in out2.to_host().to_pylist()] == ["apple", "fig"]
+
+
+def test_jit_pipeline_fusion():
+    t = dt({"k": [i % 4 for i in range(64)], "v": list(range(64))})
+
+    @jax.jit
+    def pipeline(t):
+        f = filter_table(t, BinOp(">", Col("v"), Lit(10, INT32)))
+        return hash_aggregate(f, ["k"], [AggSpec("sum", "v", "s")])
+
+    rows = pipeline(t).to_host().to_pylist()
+    groups = {}
+    for i in range(64):
+        if i > 10:
+            groups[i % 4] = groups.get(i % 4, 0) + i
+    assert_rows_equal(rows, [{"k": k, "s": s} for k, s in groups.items()])
