@@ -1,11 +1,22 @@
-"""Session-level API (placeholder; filled in with the SQL front end).
+"""Session-level API: config + SQL -> executable query.
 
-Analog of reference src/parse_sql.rs: session config + SQL -> physical plan.
+Analog of reference src/parse_sql.rs (`make_session_state_with_config`,
+`parse_sql`): a SessionConfig carrying the join strategy (our analog of the
+`JoinReplacement` version enum, parse_sql.rs:12-24), `target_partitions`,
+and `replacement_required` (parse_sql.rs:40), plus a SessionContext that
+registers tables with optional synthetic Statistics and plans SQL.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
+from .models.planner import Planner
+from .models.sql_parser import parse_sql
 from .ops.hash_table import JoinStrategy
+from .runtime.executor import QueryHandle
+from .utils.catalog import Catalog, Statistics
+from .utils.columnar import HostTable
 
 
 class SessionConfig:
@@ -18,11 +29,22 @@ class SessionConfig:
 
 
 class SessionContext:
-    """Filled in once the planner lands."""
-
-    def __init__(self, config: SessionConfig | None = None):
+    def __init__(self, config: Optional[SessionConfig] = None):
         self.config = config or SessionConfig()
-        self.tables = {}
+        self.catalog = Catalog()
 
-    def register_table(self, name: str, table):
-        self.tables[name] = table
+    def register_table(self, name: str, table: HostTable,
+                       statistics: Optional[Statistics] = None):
+        self.catalog.register(name, table, statistics)
+
+    def register_pydict(self, name: str, data: dict, dtypes=None,
+                        statistics: Optional[Statistics] = None):
+        self.register_table(name, HostTable.from_pydict(data, dtypes),
+                            statistics)
+
+    def sql(self, query: str) -> QueryHandle:
+        stmt = parse_sql(query)
+        planner = Planner(self.catalog, self.config)
+        planned = planner.plan(stmt)
+        return QueryHandle(planned.plan, self.catalog,
+                           planned.scalar_subqueries, self.config)

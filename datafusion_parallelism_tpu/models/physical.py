@@ -1,0 +1,225 @@
+"""Physical plan nodes (analog of reference L3 operators:
+ParallelHashJoin src/operator/parallel_hash_join.rs, plus DataFusion's stock
+Filter/Projection/Aggregate/Sort execs that the reference reuses).
+
+Each node carries its output schema, computed at plan time, and an
+`execute(tables) -> DeviceTable` that is jit-traceable; the executor traces
+the whole query DAG into ONE XLA program — the TPU replacement for the
+reference's tokio-stream pipeline (the OnceLock shared-executor trick in
+parallel_hash_join.rs:140-152 exists so all partitions/joins make progress
+concurrently; under XLA, whole-program compilation gives that for free).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.aggregate import AggSpec, agg_output_schema, hash_aggregate
+from ..ops.expressions import Expr
+from ..ops.filter import filter_table
+from ..ops.hash_table import JoinStrategy
+from ..ops.join import JoinType, hash_join, join_output_schema
+from ..ops.project import project_table
+from ..ops.sort import SortKey, limit_table, sort_table
+from ..utils.columnar import DeviceTable, Field, Schema
+
+
+class PhysicalPlan:
+    schema: Schema
+
+    def children(self) -> List["PhysicalPlan"]:
+        return []
+
+    def execute(self, tables: Dict[str, DeviceTable],
+                ctx: "ExecContext") -> DeviceTable:
+        raise NotImplementedError
+
+    def tree(self, indent: int = 0) -> str:
+        s = "  " * indent + self.describe()
+        for c in self.children():
+            s += "\n" + c.tree(indent + 1)
+        return s
+
+    def describe(self) -> str:
+        return self.__class__.__name__
+
+    def walk(self):
+        yield self
+        for c in self.children():
+            yield from c.walk()
+
+
+class ExecContext:
+    """Per-execution mutable state: join output capacities (grown on overflow
+    retry) and the overflow totals reported by each join."""
+
+    def __init__(self, join_caps: Dict[int, int]):
+        self.join_caps = join_caps
+        self.join_totals: Dict[int, jnp.ndarray] = {}
+
+
+@dataclass
+class PScan(PhysicalPlan):
+    table_name: str
+    label: str
+    schema: Schema
+
+    def describe(self):
+        return f"Scan({self.table_name} as {self.label})"
+
+    def execute(self, tables, ctx):
+        return tables[self.label]
+
+
+@dataclass
+class PFilter(PhysicalPlan):
+    child: PhysicalPlan
+    predicate: Expr
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+    def describe(self):
+        return f"Filter({self.predicate})"
+
+    def execute(self, tables, ctx):
+        return filter_table(self.child.execute(tables, ctx), self.predicate)
+
+
+@dataclass
+class PProject(PhysicalPlan):
+    child: PhysicalPlan
+    exprs: List[Tuple[Expr, str]]
+    out_fields: List[Field]      # plan-time schema (dtype/dictionary info)
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = Schema(self.out_fields)
+
+    def children(self):
+        return [self.child]
+
+    def describe(self):
+        return f"Project({', '.join(n for _, n in self.exprs)})"
+
+    def execute(self, tables, ctx):
+        return project_table(self.child.execute(tables, ctx), self.exprs)
+
+
+_JOIN_ID = [0]
+
+
+@dataclass
+class PHashJoin(PhysicalPlan):
+    """The ParallelHashJoin analog. build == left child (reference keeps
+    DataFusion's convention: left child is the build side)."""
+    build: PhysicalPlan
+    probe: PhysicalPlan
+    build_keys: List[str]
+    probe_keys: List[str]
+    join_type: JoinType
+    strategy: JoinStrategy = JoinStrategy.CSR
+    residual: Optional[Expr] = None
+    join_id: int = field(default_factory=lambda: _JOIN_ID.__setitem__(0, _JOIN_ID[0] + 1) or _JOIN_ID[0])
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = join_output_schema(self.build.schema, self.probe.schema,
+                                         self.join_type)
+
+    def children(self):
+        return [self.build, self.probe]
+
+    def describe(self):
+        r = f" filter={self.residual}" if self.residual is not None else ""
+        return (f"HashJoin[{self.join_type.value}/{self.strategy.value}] "
+                f"on {list(zip(self.build_keys, self.probe_keys))}{r}")
+
+    def execute(self, tables, ctx):
+        b = self.build.execute(tables, ctx)
+        p = self.probe.execute(tables, ctx)
+        cap = ctx.join_caps.get(self.join_id)
+        if cap is None:
+            cap = max(256, 2 * max(b.capacity, p.capacity))
+            ctx.join_caps[self.join_id] = cap
+        residual_fn = None
+        if self.residual is not None:
+            res = self.residual
+            residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
+        out, total = hash_join(b, p, self.build_keys, self.probe_keys,
+                               self.join_type, cap, strategy=self.strategy,
+                               residual=residual_fn)
+        ctx.join_totals[self.join_id] = total
+        return out
+
+
+@dataclass
+class PAggregate(PhysicalPlan):
+    child: PhysicalPlan
+    group_keys: List[str]
+    aggs: List[AggSpec]
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = agg_output_schema(self.child.schema, self.group_keys,
+                                        self.aggs)
+
+    def children(self):
+        return [self.child]
+
+    def describe(self):
+        a = ", ".join(f"{x.func}({x.input or '*'})" for x in self.aggs)
+        return f"Aggregate(group={self.group_keys}, aggs=[{a}])"
+
+    def execute(self, tables, ctx):
+        return hash_aggregate(self.child.execute(tables, ctx),
+                              self.group_keys, self.aggs)
+
+
+@dataclass
+class PSort(PhysicalPlan):
+    child: PhysicalPlan
+    keys: List[SortKey]
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+    def describe(self):
+        return f"Sort({[(k.column, 'asc' if k.ascending else 'desc') for k in self.keys]})"
+
+    def execute(self, tables, ctx):
+        return sort_table(self.child.execute(tables, ctx), self.keys)
+
+
+@dataclass
+class PLimit(PhysicalPlan):
+    child: PhysicalPlan
+    n: int
+    schema: Schema = None
+
+    def __post_init__(self):
+        self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+    def describe(self):
+        return f"Limit({self.n})"
+
+    def execute(self, tables, ctx):
+        return limit_table(self.child.execute(tables, ctx), self.n)
+
+
+def find_joins(plan: PhysicalPlan) -> List[PHashJoin]:
+    return [n for n in plan.walk() if isinstance(n, PHashJoin)]

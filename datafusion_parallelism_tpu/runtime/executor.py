@@ -1,0 +1,124 @@
+"""Query executor: traces the whole physical DAG into one XLA program.
+
+Replaces the reference's runtime layer (tokio worker streams + the shared
+OnceLock executor in parallel_hash_join.rs:140-152 + compaction barriers):
+under XLA there is nothing to synchronize — the plan compiles to one program
+and the compiler schedules independent subtrees (e.g. the builds of a star
+query's dimension tables) concurrently.
+
+Join output capacities are data-dependent; the executor owns the
+run -> check-overflow -> grow -> recompile loop (capacities grow to the next
+power of two, so the number of distinct compiled programs stays logarithmic).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from ..models.physical import ExecContext, PhysicalPlan, PScan, find_joins
+from ..utils.catalog import Catalog
+from ..utils.columnar import DeviceTable, HostTable, round_capacity
+
+
+class ExecutorMetrics:
+    """Per-query metrics (the MetricsSet the reference never implemented —
+    SURVEY.md §5.5 flags that gap; here it is first-class)."""
+
+    def __init__(self):
+        self.compile_count = 0
+        self.compile_time_s = 0.0
+        self.run_time_s = 0.0
+        self.retries = 0
+        self.join_caps: Dict[int, int] = {}
+
+
+class QueryHandle:
+    """A compiled, re-runnable query (analog of a criterion-prepared plan,
+    reference benches/utils/prepare_query.rs)."""
+
+    def __init__(self, plan: PhysicalPlan, catalog: Catalog,
+                 scalar_subqueries=(), config=None):
+        self.plan = plan
+        self.catalog = catalog
+        self.scalar_subqueries = list(scalar_subqueries)
+        self.config = config
+        self.metrics = ExecutorMetrics()
+        self._caps: Dict[int, int] = {}
+        self._compiled = None
+        self._compiled_key = None
+
+    # -- inputs ---------------------------------------------------------------
+    def _leaf_tables(self) -> Dict[str, DeviceTable]:
+        tables = {}
+        for node in self.plan.walk():
+            if isinstance(node, PScan) and node.label not in tables:
+                dev = self.catalog.get(node.table_name).device()
+                tables[node.label] = dev.rename(
+                    {c: f"{node.label}.{c}" for c in dev.schema.names})
+        return tables
+
+    # -- execution --------------------------------------------------------------
+    def run(self) -> DeviceTable:
+        # uncorrelated scalar subqueries run first; their values are baked in
+        for sv, sub in self.scalar_subqueries:
+            handle = QueryHandle(sub.plan, self.catalog,
+                                 sub.scalar_subqueries, self.config)
+            result = handle.run().to_host()
+            rows = result.to_pylist()
+            if len(rows) != 1:
+                raise ValueError(f"scalar subquery returned {len(rows)} rows")
+            value = rows[0][result.schema.fields[0].name]
+            sv.holder[0] = value
+
+        tables = self._leaf_tables()
+        joins = find_joins(self.plan)
+        plan = self.plan
+
+        while True:
+            key = (tuple(sorted(self._caps.items())),
+                   tuple(sv.holder[0] for sv, _ in self.scalar_subqueries))
+            if self._compiled is None or self._compiled_key != key:
+                # a FRESH closure per compile: jax caches traces by function
+                # identity, so reusing one closure would silently resurrect a
+                # stale trace with the old capacities
+                caps = dict(self._caps)
+
+                def fn(tables, _caps=caps):
+                    ctx = ExecContext(_caps)
+                    out = plan.execute(tables, ctx)
+                    totals = [ctx.join_totals[j.join_id] for j in joins]
+                    return out, totals
+
+                t0 = time.time()
+                self._compiled = jax.jit(fn).lower(tables).compile()
+                # capacity defaults chosen at trace time are recorded in caps
+                self._caps.update(caps)
+                self._compiled_key = key
+                self.metrics.compile_count += 1
+                self.metrics.compile_time_s += time.time() - t0
+            t0 = time.time()
+            out, totals = self._compiled(tables)
+            jax.block_until_ready(totals)
+            self.metrics.run_time_s += time.time() - t0
+
+            overflow = False
+            for j, total in zip(joins, totals):
+                total = int(total)
+                cap = self._caps[j.join_id]
+                if total > cap:
+                    self._caps[j.join_id] = round_capacity(total)
+                    overflow = True
+            self.metrics.join_caps = dict(self._caps)
+            if not overflow:
+                return out
+            self.metrics.retries += 1
+            self._compiled = None
+
+    def collect(self) -> HostTable:
+        return self.run().to_host()
+
+    def explain(self) -> str:
+        return self.plan.tree()
