@@ -1,0 +1,200 @@
+"""Hash-partition shuffle over the device mesh.
+
+The reference moves rows between its N partition streams with in-process
+flume channels and work stealing (reference
+src/operator/work_stealing_repartition_exec.rs:50-115,331-365). On TPU the
+equivalent is a static all-to-all over ICI: every device packs, per
+destination, the rows whose key hash routes there, exchanges the fixed-size
+blocks with `lax.all_to_all`, and compacts what it received. Static shapes
+throughout — a per-destination send capacity replaces dynamic queues, with a
+dropped-row counter so the driver can grow the capacity and retry (the same
+run -> check -> grow -> recompile discipline as join output capacities).
+
+Routing uses the HIGH bits of the same deterministic row hash whose LOW bits
+pick local hash-table slots (ops/hashing.py) — both join sides co-partition by
+construction, and routing stays independent of slot choice.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.hashing import hash_rows
+from ..utils.columnar import DeviceTable, HostTable, Schema, round_capacity
+from .mesh import PARTITION_AXIS
+
+
+def route_of(hashes: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
+    """Destination partition of each row: high hash bits, unbiased for any P."""
+    # multiply-shift map of the top 16 bits onto [0, P)
+    top = (hashes >> jnp.uint32(16)).astype(jnp.uint32)
+    return ((top * jnp.uint32(num_partitions)) >> jnp.uint32(16)).astype(jnp.int32)
+
+
+def _pack_by_dest(t: DeviceTable, dest: jnp.ndarray, P: int, send_cap: int):
+    """Pack rows into per-destination blocks.
+
+    Returns (send_cols, send_valid, dropped):
+      send_cols[name] = (values[P, send_cap], validity[P, send_cap])
+      send_valid[P, send_cap]  row-is-real mask
+      dropped                  rows lost to send_cap overflow (scalar)
+    """
+    cap = t.capacity
+    order = jnp.argsort(dest, stable=True).astype(jnp.int32)
+    sorted_dest = jnp.take(dest, order)
+    seg = jnp.searchsorted(sorted_dest, jnp.arange(P + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    counts = seg[1:] - seg[:-1]                      # [P]
+    j = jnp.arange(send_cap, dtype=jnp.int32)
+    pos = seg[:-1, None] + j[None, :]                # [P, send_cap]
+    idx = jnp.take(order, jnp.minimum(pos, cap - 1))
+    send_valid = j[None, :] < counts[:, None]
+    send_cols = {}
+    for f in t.schema.fields:
+        v, valid = t.columns[f.name]
+        send_cols[f.name] = (jnp.take(v, idx), jnp.take(valid, idx) & send_valid)
+    dropped = jnp.sum(jnp.maximum(counts - send_cap, 0), dtype=jnp.int32)
+    return send_cols, send_valid, dropped
+
+
+def _exchange_and_compact(schema: Schema, send_cols, send_valid, P: int,
+                          send_cap: int, axis: str) -> DeviceTable:
+    """all_to_all the packed blocks and compact received rows to the front."""
+    recv_valid = lax.all_to_all(send_valid, axis, 0, 0)      # [P, send_cap]
+    flat_valid = recv_valid.reshape(P * send_cap)
+    # stable compaction permutation: valid rows to the front, in arrival order
+    perm = jnp.argsort(~flat_valid, stable=True).astype(jnp.int32)
+    n = jnp.sum(flat_valid, dtype=jnp.int32)
+    in_row = jnp.arange(P * send_cap, dtype=jnp.int32) < n
+    cols = {}
+    for f in schema.fields:
+        sv, svalid = send_cols[f.name]
+        rv = lax.all_to_all(sv, axis, 0, 0).reshape(P * send_cap)
+        rvalid = lax.all_to_all(svalid, axis, 0, 0).reshape(P * send_cap)
+        cols[f.name] = (jnp.take(rv, perm), jnp.take(rvalid, perm) & in_row)
+    return DeviceTable(schema, cols, n)
+
+
+def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
+                    axis: str = PARTITION_AXIS,
+                    dest_override: Optional[jnp.ndarray] = None,
+                    ) -> Tuple[DeviceTable, jnp.ndarray]:
+    """Repartition a local shard by key hash. Call INSIDE shard_map.
+
+    Returns (received shard of capacity P*send_cap, globally-summed dropped
+    row count). dest_override lets skew handling supply a salted routing.
+    """
+    P = lax.psum(1, axis)
+    if dest_override is None:
+        h = hash_rows([t.column(k) for k in keys])
+        dest = route_of(h, P)
+    else:
+        dest = dest_override
+    # padding rows route to an out-of-range destination and are dropped
+    dest = jnp.where(t.row_mask(), dest, P)
+    send_cols, send_valid, dropped = _pack_by_dest(t, dest, P, send_cap)
+    out = _exchange_and_compact(t.schema, send_cols, send_valid, P, send_cap, axis)
+    return out, lax.psum(dropped, axis)
+
+
+def replicating_shuffle(t: DeviceTable, keys: List[str], send_cap: int,
+                        replicate: jnp.ndarray, axis: str = PARTITION_AXIS,
+                        ) -> Tuple[DeviceTable, jnp.ndarray]:
+    """Shuffle where rows flagged `replicate` are sent to EVERY partition
+    (skewed-key build-side broadcast); others route by hash as usual.
+
+    Membership-matrix packing: member[d, i] = routes-to-d OR replicated.
+    """
+    P = lax.psum(1, axis)
+    h = hash_rows([t.column(k) for k in keys])
+    dest = route_of(h, P)
+    in_row = t.row_mask()
+    cap = t.capacity
+    d_ids = jnp.arange(P, dtype=jnp.int32)[:, None]            # [P, 1]
+    member = in_row[None, :] & ((dest[None, :] == d_ids) | replicate[None, :])
+    csum = jnp.cumsum(member, axis=1, dtype=jnp.int32)         # [P, cap]
+    counts = csum[:, -1]                                       # [P]
+    j = jnp.arange(send_cap, dtype=jnp.int32)
+
+    def pick(row_csum):  # positions of the 1st..send_cap-th member
+        return jnp.searchsorted(row_csum, j + 1, side="left").astype(jnp.int32)
+
+    idx = jnp.minimum(jax.vmap(pick)(csum), cap - 1)           # [P, send_cap]
+    send_valid = j[None, :] < counts[:, None]
+    send_cols = {}
+    for f in t.schema.fields:
+        v, valid = t.columns[f.name]
+        send_cols[f.name] = (jnp.take(v, idx), jnp.take(valid, idx) & send_valid)
+    dropped = jnp.sum(jnp.maximum(counts - send_cap, 0), dtype=jnp.int32)
+    out = _exchange_and_compact(t.schema, send_cols, send_valid, P, send_cap, axis)
+    return out, lax.psum(dropped, axis)
+
+
+# ---------------------------------------------------------------------------
+# Host-side shard construction / collection
+# ---------------------------------------------------------------------------
+
+def partition_table(t: HostTable, P: int, shard_cap: Optional[int] = None,
+                    ) -> Tuple[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+                               jnp.ndarray, Schema, int]:
+    """Split a host table into P contiguous row shards as stacked arrays.
+
+    Returns (columns of [P, shard_cap] arrays, num_rows[P], schema, shard_cap).
+    Feed through shard_map with PartitionSpec('p') on the leading axis.
+    """
+    import numpy as np
+    n = t.num_rows
+    per = -(-n // P) if n else 0
+    cap = shard_cap or round_capacity(max(per, 1))
+    num_rows = np.zeros((P,), dtype=np.int32)
+    cols = {}
+    for f in t.schema.fields:
+        v, valid = t.columns[f.name]
+        sv = np.zeros((P, cap), dtype=v.dtype)
+        svalid = np.zeros((P, cap), dtype=np.bool_)
+        for p in range(P):
+            lo, hi = p * per, min((p + 1) * per, n)
+            k = max(hi - lo, 0)
+            num_rows[p] = k
+            if k:
+                sv[p, :k] = v[lo:hi]
+                svalid[p, :k] = valid[lo:hi]
+        cols[f.name] = (jnp.asarray(sv), jnp.asarray(svalid))
+    return cols, jnp.asarray(num_rows), t.schema, cap
+
+
+def local_table(schema: Schema, cols, num_rows) -> DeviceTable:
+    """Rebuild a per-device DeviceTable inside shard_map from sharded leaves.
+
+    Sharded leaves arrive with a leading length-1 shard axis; strip it.
+    """
+    local = {n: (v[0], valid[0]) for n, (v, valid) in cols.items()}
+    return DeviceTable(schema, local, num_rows[0])
+
+
+def unlocal_table(t: DeviceTable):
+    """Inverse of local_table: re-add the length-1 shard axis for out_specs."""
+    cols = {n: (v[None], valid[None]) for n, (v, valid) in t.columns.items()}
+    return cols, t.num_rows[None]
+
+
+def gather_shards(schema: Schema, cols, num_rows) -> HostTable:
+    """Collect sharded results ([P, cap] leaves + num_rows[P]) to one host table."""
+    import numpy as np
+    P = num_rows.shape[0]
+    nr = np.asarray(num_rows)
+    out_cols = {f.name: ([], []) for f in schema.fields}
+    for p in range(P):
+        k = int(nr[p])
+        for f in schema.fields:
+            v, valid = cols[f.name]
+            out_cols[f.name][0].append(np.asarray(v[p])[:k])
+            out_cols[f.name][1].append(np.asarray(valid[p])[:k])
+    final = {n: (np.concatenate(vs) if vs else np.zeros(0),
+                 np.concatenate(ms) if ms else np.zeros(0, np.bool_))
+             for n, (vs, ms) in out_cols.items()}
+    return HostTable(schema, final, int(nr.sum()))
