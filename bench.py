@@ -1,0 +1,111 @@
+"""Headline benchmark: single-chip hash-join throughput (build + probe).
+
+Scenario mirrors the reference's BuildSpeed/LookupSpeed `Size512` (512
+batches x 8192 rows = 4,194,304 rows, uniform int keys — reference
+benches/build_speed.rs:38,131-160, benches/lookup_speed.rs:122-141), fused
+here into one end-to-end join step because on TPU build and probe are one
+compiled program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against a vectorized numpy hash join measured once on
+this machine's CPU and cached in BASELINE_MEASURED.json (the Rust reference
+cannot run here — no cargo in the image — so an equivalent-methodology CPU
+measurement stands in for it; BASELINE.md documents the gap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_ROWS = 512 * 8192          # reference Size512
+KEY_RANGE = N_ROWS           # ~1 match per probe row
+OUT_CAP = 2 * N_ROWS
+ITERS = 20
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+
+
+def _make_inputs(rng):
+    bk = rng.integers(0, KEY_RANGE, N_ROWS).astype(np.int32)
+    bv = rng.random(N_ROWS).astype(np.float32)
+    pk = rng.integers(0, KEY_RANGE, N_ROWS).astype(np.int32)
+    pv = rng.random(N_ROWS).astype(np.float32)
+    return bk, bv, pk, pv
+
+
+def cpu_baseline_rows_per_s() -> float:
+    """Vectorized numpy hash join (sort + searchsorted), same scenario."""
+    rng = np.random.default_rng(0)
+    bk, bv, pk, pv = _make_inputs(rng)
+    t0 = time.perf_counter()
+    order = np.argsort(bk, kind="stable")          # build
+    sk = bk[order]
+    lo = np.searchsorted(sk, pk, side="left")      # probe
+    hi = np.searchsorted(sk, pk, side="right")
+    count = hi - lo
+    total = int(count.sum())
+    probe_idx = np.repeat(np.arange(N_ROWS), count)
+    offs = np.arange(total) - np.repeat(np.cumsum(count) - count, count)
+    build_idx = order[np.repeat(lo, count) + offs]
+    s = float(bv[build_idx].sum() + pv[probe_idx].sum())
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s)
+    return 2 * N_ROWS / dt
+
+
+def tpu_rows_per_s() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from datafusion_parallelism_tpu.ops.join import JoinType, hash_join
+    from datafusion_parallelism_tpu.utils.columnar import HostTable
+
+    rng = np.random.default_rng(0)
+    bk, bv, pk, pv = _make_inputs(rng)
+    build = HostTable.from_numpy({"b_key": bk, "b_val": bv}).to_device()
+    probe = HostTable.from_numpy({"p_key": pk, "p_val": pv}).to_device()
+
+    @jax.jit
+    def step(build, probe):
+        out, total = hash_join(build, probe, ["b_key"], ["p_key"],
+                               JoinType.INNER, OUT_CAP)
+        v, valid = out.column("b_val")
+        return jnp.sum(jnp.where(valid & out.row_mask(), v, 0.0)), total
+
+    s, total = step(build, probe)             # warm-up + compile
+    jax.block_until_ready(s)
+    assert int(total) <= OUT_CAP, f"out_cap overflow: {int(total)}"
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        s, total = step(build, probe)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    return ITERS * 2 * N_ROWS / dt
+
+
+def main():
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)["cpu_join_rows_per_s"]
+    else:
+        baseline = cpu_baseline_rows_per_s()
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({"cpu_join_rows_per_s": baseline,
+                       "scenario": "Size512 uniform-int inner join, "
+                                   "numpy sort+searchsorted on host CPU"},
+                      f, indent=2)
+    value = tpu_rows_per_s()
+    print(json.dumps({
+        "metric": "hash_join_build_probe_throughput_size512",
+        "value": round(value, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
