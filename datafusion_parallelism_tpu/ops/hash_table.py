@@ -123,13 +123,21 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
 
 def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
                       probe_hashes: jnp.ndarray, out_cap: int) -> Candidates:
-    """cumsum + searchsorted expansion of variable-length candidate ranges."""
+    """Expansion of variable-length candidate ranges into a flat list.
+
+    scatter + cummax, O(out_cap): each probe row with matches scatters its id
+    at its first output slot, a prefix max fills the gaps. Replaces a
+    searchsorted (log n gathers per output slot)."""
+    import jax.lax
     cum = jnp.cumsum(count, dtype=jnp.int32)
     total = cum[-1]
+    base_per_row = cum - count                      # first output slot per row
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    probe_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    probe_idx = jnp.minimum(probe_idx, count.shape[0] - 1)
-    base = jnp.where(probe_idx > 0, jnp.take(cum, probe_idx - 1, mode="clip"), 0)
+    marker = (jnp.zeros((out_cap,), jnp.int32)
+              .at[jnp.where(count > 0, base_per_row, out_cap)]
+              .max(jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop"))
+    probe_idx = jax.lax.cummax(marker)
+    base = jnp.take(base_per_row, probe_idx, mode="clip")
     k = j - base
     pos = jnp.take(start, probe_idx, mode="clip") + k
     build_idx = jnp.take(table.perm, pos, mode="clip")

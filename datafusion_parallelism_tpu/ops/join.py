@@ -26,7 +26,8 @@ from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..utils.columnar import (DeviceTable, Schema, gather_table, hstack_tables,
+from ..utils.columnar import (DeviceTable, Schema, compaction_indices,
+                              gather_table, hstack_tables,
                               null_columns_like, concat_tables,
                               filter_rows as _filter_rows)
 from .hashing import hash_rows
@@ -138,11 +139,10 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     probe_in = probe.row_mask()
 
     def pairs_table() -> DeviceTable:
-        perm = jnp.argsort(~match, stable=True).astype(jnp.int32)
-        n = jnp.sum(match, dtype=jnp.int32)
+        gidx, n = compaction_indices(match)
         ok = jnp.arange(out_cap, dtype=jnp.int32) < n
-        bt = gather_table(build, jnp.take(cands.build_idx, perm), n, ok)
-        pt = gather_table(probe, jnp.take(cands.probe_idx, perm), n, ok)
+        bt = gather_table(build, jnp.take(cands.build_idx, gidx), n, ok)
+        pt = gather_table(probe, jnp.take(cands.probe_idx, gidx), n, ok)
         return hstack_tables(bt, pt, n)
 
     def unmatched_build() -> DeviceTable:

@@ -40,7 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.hash_table import JoinStrategy
 from ..ops.join import JoinType, hash_join, join_output_schema
-from ..utils.columnar import DeviceTable, HostTable, Schema, round_capacity
+from ..utils.columnar import (DeviceTable, HostTable, Schema,
+                              compaction_indices, round_capacity)
 from .mesh import PARTITION_AXIS
 from .shuffle import (gather_shards, local_table, partition_table,
                       replicating_shuffle, shuffle_by_hash, unlocal_table)
@@ -70,15 +71,14 @@ def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
     cap = t.capacity
     mask = (jnp.arange(cap, dtype=jnp.int32)[None, :]
             < nr[:, None]).reshape(P_ * cap)
-    perm = jnp.argsort(~mask, stable=True).astype(jnp.int32)
-    n = jnp.sum(nr, dtype=jnp.int32)
+    gidx, n = compaction_indices(mask)
     in_row = jnp.arange(P_ * cap, dtype=jnp.int32) < n
     cols = {}
     for f in t.schema.fields:
         v, valid = t.columns[f.name]
         gv = lax.all_gather(v, axis).reshape(P_ * cap)
         gvalid = lax.all_gather(valid, axis).reshape(P_ * cap)
-        cols[f.name] = (jnp.take(gv, perm), jnp.take(gvalid, perm) & in_row)
+        cols[f.name] = (jnp.take(gv, gidx), jnp.take(gvalid, gidx) & in_row)
     return DeviceTable(t.schema, cols, n)
 
 

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.hashing import hash_rows
-from ..utils.columnar import DeviceTable, HostTable, Schema, round_capacity
+from ..utils.columnar import (DeviceTable, HostTable, Schema,
+                              compaction_indices, round_capacity)
 from .mesh import PARTITION_AXIS
 
 
@@ -66,16 +67,15 @@ def _exchange_and_compact(schema: Schema, send_cols, send_valid, P: int,
     """all_to_all the packed blocks and compact received rows to the front."""
     recv_valid = lax.all_to_all(send_valid, axis, 0, 0)      # [P, send_cap]
     flat_valid = recv_valid.reshape(P * send_cap)
-    # stable compaction permutation: valid rows to the front, in arrival order
-    perm = jnp.argsort(~flat_valid, stable=True).astype(jnp.int32)
-    n = jnp.sum(flat_valid, dtype=jnp.int32)
+    # stable compaction: valid rows to the front, in arrival order
+    gidx, n = compaction_indices(flat_valid)
     in_row = jnp.arange(P * send_cap, dtype=jnp.int32) < n
     cols = {}
     for f in schema.fields:
         sv, svalid = send_cols[f.name]
         rv = lax.all_to_all(sv, axis, 0, 0).reshape(P * send_cap)
         rvalid = lax.all_to_all(svalid, axis, 0, 0).reshape(P * send_cap)
-        cols[f.name] = (jnp.take(rv, perm), jnp.take(rvalid, perm) & in_row)
+        cols[f.name] = (jnp.take(rv, gidx), jnp.take(rvalid, gidx) & in_row)
     return DeviceTable(schema, cols, n)
 
 

@@ -395,15 +395,27 @@ def gather_table(t: DeviceTable, indices: jnp.ndarray, new_num_rows,
     return DeviceTable(t.schema, cols, jnp.asarray(new_num_rows, jnp.int32))
 
 
-def filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
-    """Compact rows where mask is True to the front (stable order).
+def compaction_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gather_idx, n): gather_idx[j] = index of the j-th True in mask (stable).
 
-    The prefix-sum + stable-sort compaction idiom replacing Arrow's
-    FilterBuilder in the reference probe path."""
-    perm = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    cumsum + scatter, O(n) — the prefix-sum compaction idiom replacing both
+    Arrow's FilterBuilder in the reference probe path and a stable sort.
+    Entries past n point at arbitrary kept rows; callers mask with j < n.
+    """
+    cap = mask.shape[0]
+    pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
+    dest = jnp.where(mask, pos, cap)
+    gather_idx = (jnp.zeros((cap,), jnp.int32)
+                  .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop"))
     n = jnp.sum(mask, dtype=jnp.int32)
+    return gather_idx, n
+
+
+def filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
+    """Compact rows where mask is True to the front (stable order)."""
+    gather_idx, n = compaction_indices(mask)
     row_valid = jnp.arange(t.capacity, dtype=jnp.int32) < n
-    return gather_table(t, perm, n, row_valid)
+    return gather_table(t, gather_idx, n, row_valid)
 
 
 def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
