@@ -46,5 +46,10 @@ class SessionContext:
         stmt = parse_sql(query)
         planner = Planner(self.catalog, self.config)
         planned = planner.plan(stmt)
+        if self.config.target_partitions > 1:
+            from .runtime.distributed_executor import DistributedQueryHandle
+            return DistributedQueryHandle(planned.plan, self.catalog,
+                                          planned.scalar_subqueries,
+                                          self.config)
         return QueryHandle(planned.plan, self.catalog,
                            planned.scalar_subqueries, self.config)

@@ -110,7 +110,8 @@ class PProject(PhysicalPlan):
         return f"Project({', '.join(n for _, n in self.exprs)})"
 
     def execute(self, tables, ctx):
-        return project_table(self.child.execute(tables, ctx), self.exprs)
+        return project_table(self.child.execute(tables, ctx), self.exprs,
+                             self.out_fields)
 
 
 _JOIN_ID = [0]

@@ -245,6 +245,60 @@ def ast_name(node: ENode) -> str:
     return "expr"
 
 
+def factor_or_conjuncts(c: ENode) -> List[ENode]:
+    """Hoist conjuncts common to every OR disjunct (Q19's shape: each branch
+    repeats the equi-join predicate). Returns the replacement conjunct list:
+    hoisted common conjuncts + the reduced OR."""
+    if not (isinstance(c, EBinary) and c.op == "or"):
+        return [c]
+
+    def disjuncts(n):
+        if isinstance(n, EBinary) and n.op == "or":
+            return disjuncts(n.left) + disjuncts(n.right)
+        return [n]
+
+    branches = [split_conjuncts(d) for d in disjuncts(c)]
+    common_keys = set(_ast_key(x) for x in branches[0])
+    for b in branches[1:]:
+        common_keys &= {_ast_key(x) for x in b}
+    if not common_keys:
+        return [c]
+    common = [x for x in branches[0] if _ast_key(x) in common_keys]
+    reduced_branches = []
+    for b in branches:
+        rest = [x for x in b if _ast_key(x) not in common_keys]
+        if not rest:
+            return common  # one branch fully covered -> OR is implied true
+        node = rest[0]
+        for x in rest[1:]:
+            node = EBinary("and", node, x)
+        reduced_branches.append(node)
+    reduced = reduced_branches[0]
+    for b in reduced_branches[1:]:
+        reduced = EBinary("or", reduced, b)
+    return common + [reduced]
+
+
+def _const_numeric_fold(node: ENode):
+    """Exact (Fraction) folding of pure-literal arithmetic: SQL decimal
+    literals like 0.06 - 0.01 must fold to 0.05 exactly, not 0.049999…
+    (float literals round-trip through str, which preserves the decimal)."""
+    from fractions import Fraction
+    if isinstance(node, ELit) and node.kind in ("int", "float"):
+        return Fraction(str(node.value))
+    if isinstance(node, EUnary) and node.op == "-":
+        f = _const_numeric_fold(node.child)
+        return None if f is None else -f
+    if isinstance(node, EBinary) and node.op in ("+", "-", "*", "/"):
+        l = _const_numeric_fold(node.left)
+        r = _const_numeric_fold(node.right)
+        if l is None or r is None or (node.op == "/" and r == 0):
+            return None
+        return {"+": l + r, "-": l - r, "*": l * r,
+                "/": l / r if node.op == "/" else None}[node.op]
+    return None
+
+
 def _const_date_fold(node: ENode) -> Optional[int]:
     """Fold date literal arithmetic (DATE '…' ± INTERVAL) to date32 days."""
     if isinstance(node, EDate):
@@ -323,14 +377,21 @@ class Planner:
             raise PlanError(f"duplicate table aliases: {labels}")
         scope = Scope(all_rels, outer)
 
-        conjuncts = split_conjuncts(stmt.where)
+        conjuncts = []
+        for c in split_conjuncts(stmt.where):
+            conjuncts.extend(factor_or_conjuncts(c))
         equi_edges: List[Tuple[Relation, str, Relation, str]] = []
         single_rel: Dict[str, List[ENode]] = {}
         residual: List[ENode] = []
         subquery_conjuncts: List[ENode] = []
 
         for c in conjuncts:
-            c = self._rewrite_correlated_scalar(c, scope)
+            d = self._try_decorrelate_scalar(c, scope)
+            if d is not None:
+                rel, edges, c = d
+                relations.append(rel)       # joins with the comma-list pool
+                all_rels.append(rel)        # visible to scope resolution
+                equi_edges.extend(edges)
             if self._is_subquery_conjunct(c):
                 subquery_conjuncts.append(c)
                 continue
@@ -534,11 +595,60 @@ class Planner:
             raise PlanError("JOIN inside EXISTS/IN subquery not yet supported")
         inner_scope = Scope(inner_rels, scope)
 
+        # does the subquery reference the outer scope at all?
+        is_correlated = False
+        for c in split_conjuncts(sub.where):
+            if self._is_subquery_conjunct(c):
+                continue
+            refs: List = []
+            try:
+                ident_refs(c, inner_scope, refs)
+            except PlanError:
+                continue
+            if any(o for (_, _, _, o) in refs):
+                is_correlated = True
+                break
+
+        # Uncorrelated IN over an aggregating subquery (Q18's HAVING shape):
+        # plan the subquery outright and semi/anti join on its output column.
+        needs_full_plan = bool(sub.group_by or sub.having or sub.distinct or
+                               any(contains_agg(e) for e, _ in sub.projections))
+        if not is_correlated and outer_expr is not None and needs_full_plan:
+            planned = sub_planner.plan(sub, outer=None)
+            self.scalar_subqueries.extend(sub_planner.scalar_subqueries)
+            label = f"__in{self._label_counter[0]}"
+            self._label_counter[0] += 1
+            exprs = [(Col(f.name), f"{label}.{f.name}")
+                     for f in planned.plan.schema.fields]
+            fields = [f.with_name(f"{label}.{f.name}")
+                      for f in planned.plan.schema.fields]
+            inner_plan = PProject(planned.plan, exprs, fields)
+            ro, co, is_outer = scope.resolve(outer_expr.parts)
+            if is_outer:
+                raise PlanError("IN left operand must be from the current scope")
+            return self._semi_anti_join(
+                outer_plan, inner_plan, [ro.qualified(co)],
+                [f"{label}.{planned.plan.schema.fields[0].name}"],
+                negated, None)
+        if needs_full_plan:
+            raise PlanError("correlated aggregating IN subquery not supported")
+
         inner_filters: List[ENode] = []
+        inner_subq: List[ENode] = []
         key_pairs: List[Tuple[str, str]] = []  # (outer qualified, inner qualified)
         residuals: List[ENode] = []
         inner_edges = []
         for c in split_conjuncts(sub.where):
+            d = sub_planner._try_decorrelate_scalar(c, inner_scope)
+            if d is not None:
+                rel, edges, c = d
+                inner_rels.append(rel)     # also extends inner_scope.relations
+                inner_edges.extend(edges)
+                self.scalar_subqueries.extend(sub_planner.scalar_subqueries)
+                sub_planner.scalar_subqueries = []
+            if sub_planner._is_subquery_conjunct(c):
+                inner_subq.append(c)
+                continue
             refs: List = []
             ident_refs(c, inner_scope, refs)
             has_outer = any(o for (_, _, _, o) in refs)
@@ -589,15 +699,30 @@ class Planner:
         inner_plan = inner_rel.plan
         for c in inner_filters:  # leftover multi-relation filters
             inner_plan = PFilter(inner_plan, sub_planner.lower(c, inner_plan.schema, inner_scope))
+        for c in inner_subq:     # nested EXISTS/IN inside the subquery (Q20)
+            inner_plan = sub_planner._apply_subquery_conjunct(inner_plan, c,
+                                                              inner_scope)
         self.scalar_subqueries.extend(sub_planner.scalar_subqueries)
 
         outer_keys = [p[0] for p in key_pairs]
         inner_keys = [p[1] for p in key_pairs]
 
-        # estimate sides for build choice; outer side must be PRESERVED:
-        # build=outer -> LEFT_SEMI/ANTI, build=inner -> RIGHT_SEMI/ANTI
-        outer_est = _estimate_rows(outer_plan, self.catalog)
-        inner_est = _estimate_rows(inner_plan, self.catalog)
+        # label collision (subquery scans a table the outer side also scans,
+        # Q18/Q21 self-joins): requalify the inner columns under a fresh label
+        outer_names = set(outer_plan.schema.names)
+        if outer_names & set(inner_plan.schema.names):
+            if residuals:
+                raise PlanError("self-join subquery with non-equality "
+                                "correlation needs distinct table aliases")
+            tag = f"__s{self._label_counter[0]}"
+            self._label_counter[0] += 1
+            rename = {n: f"{tag}.{n}" for n in inner_plan.schema.names}
+            exprs = [(Col(n), rename[n]) for n in inner_plan.schema.names]
+            fields = [f.with_name(rename[f.name])
+                      for f in inner_plan.schema.fields]
+            inner_plan = PProject(inner_plan, exprs, fields)
+            inner_keys = [rename.get(k, k) for k in inner_keys]
+
         combined = Schema(list(outer_plan.schema.fields) + list(inner_plan.schema.fields))
         res_expr = None
         if residuals:
@@ -605,6 +730,16 @@ class Planner:
             for c in residuals[1:]:
                 comb = EBinary("and", comb, c)
             res_expr = self.lower(comb, combined, Scope(inner_rels, scope))
+        return self._semi_anti_join(outer_plan, inner_plan, outer_keys,
+                                    inner_keys, negated, res_expr)
+
+    def _semi_anti_join(self, outer_plan: PhysicalPlan,
+                        inner_plan: PhysicalPlan, outer_keys, inner_keys,
+                        negated: bool, res_expr) -> PhysicalPlan:
+        """Semi (anti when negated) join preserving the OUTER side:
+        build=outer -> LEFT_SEMI/ANTI, build=inner -> RIGHT_SEMI/ANTI."""
+        outer_est = _estimate_rows(outer_plan, self.catalog)
+        inner_est = _estimate_rows(inner_plan, self.catalog)
         if outer_est <= inner_est:
             jt = JoinType.LEFT_ANTI if negated else JoinType.LEFT_SEMI
             return PHashJoin(outer_plan, inner_plan, outer_keys, inner_keys,
@@ -628,13 +763,93 @@ class Planner:
             return (rl.qualified(cl), rr.qualified(cr))
         return (rr.qualified(cr), rl.qualified(cl))
 
-    def _rewrite_correlated_scalar(self, c: ENode, scope: Scope) -> ENode:
+    def _try_decorrelate_scalar(self, c: ENode, scope: Scope):
         """`expr CMP (SELECT agg(..) FROM inner WHERE inner.k = outer.k ...)`
-        -> join against a grouped aggregate (the Q17 decorrelation). Handled
-        later as a normal subquery-ish conjunct by planning the aggregate as a
-        derived relation; implemented in _plan_from_where via scalar path for
-        uncorrelated, and here only validated."""
-        return c
+        -> grouped-aggregate derived relation + equi edges + rewritten
+        conjunct (the Q2/Q17/Q20 decorrelation).
+
+        Correct for sum/avg/min/max comparisons: a missing group makes the
+        scalar NULL, the comparison UNKNOWN, and the row is dropped — the same
+        rows an inner equi-join drops. Returns None when c isn't this shape.
+        """
+        if not (isinstance(c, EBinary)
+                and c.op in ("=", "<", "<=", ">", ">=", "<>")):
+            return None
+        if isinstance(c.right, EScalarSubquery) and \
+                not isinstance(c.left, EScalarSubquery):
+            lhs, sq = c.left, c.right
+            op = c.op
+        elif isinstance(c.left, EScalarSubquery) and \
+                not isinstance(c.right, EScalarSubquery):
+            lhs, sq = c.right, c.left
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(c.op, c.op)
+        else:
+            return None
+        sub = sq.query
+        if sub.joins or sub.group_by or sub.having or len(sub.projections) != 1:
+            return None
+        tmp = Planner(self.catalog, self.config)
+        inner_rels = [tmp._bind_relation(t, scope) for t in sub.from_tables]
+        inner_scope = Scope(inner_rels, scope)
+
+        kept: List[ENode] = []
+        corr: List[Tuple[Relation, str, str, str]] = []  # outer rel/col, inner label/col
+        for cj in split_conjuncts(sub.where):
+            refs: List = []
+            try:
+                ident_refs(cj, inner_scope, refs)
+            except PlanError:
+                return None
+            if not any(o for (_, _, _, o) in refs):
+                kept.append(cj)
+                continue
+            # correlated conjunct: must be inner.col = outer.col with the
+            # outer side resolving in THIS scope (not a deeper ancestor)
+            if not (isinstance(cj, EBinary) and cj.op == "="
+                    and isinstance(cj.left, EIdent)
+                    and isinstance(cj.right, EIdent)):
+                return None
+            rl, cl, ol = inner_scope.resolve(cj.left.parts)
+            rr, cr, orr = inner_scope.resolve(cj.right.parts)
+            if ol == orr:
+                return None
+            (orel, ocol), (irel, icol) = ((rl, cl), (rr, cr)) if ol else \
+                                         ((rr, cr), (rl, cl))
+            if orel not in scope.relations:
+                return None  # correlated past the immediate scope
+            corr.append((orel, ocol, irel.label, icol))
+        if not corr:
+            return None  # uncorrelated: normal ScalarValue path handles it
+
+        projections = [(sub.projections[0][0], "__sv")]
+        group_by: List[ENode] = []
+        for i, (_, _, ilabel, icol) in enumerate(corr):
+            ident = EIdent([ilabel, icol])
+            projections.append((ident, f"__ck{i}"))
+            group_by.append(ident)
+        where = None
+        for cj in kept:
+            where = cj if where is None else EBinary("and", where, cj)
+        stmt2 = SelectStmt(projections=projections,
+                           from_tables=sub.from_tables,
+                           where=where, group_by=group_by)
+        sub_planner = Planner(self.catalog, self.config)
+        planned = sub_planner.plan(stmt2, outer=None)
+        self.scalar_subqueries.extend(sub_planner.scalar_subqueries)
+
+        label = f"__scalar{self._label_counter[0]}"
+        self._label_counter[0] += 1
+        exprs = [(Col(f.name), f"{label}.{f.name}")
+                 for f in planned.plan.schema.fields]
+        fields = [f.with_name(f"{label}.{f.name}")
+                  for f in planned.plan.schema.fields]
+        rel = Relation(label, PProject(planned.plan, exprs, fields),
+                       [f.name for f in planned.plan.schema.fields],
+                       _estimate_rows(planned.plan, self.catalog))
+        edges = [(orel, ocol, rel, f"__ck{i}")
+                 for i, (orel, ocol, _, _) in enumerate(corr)]
+        replacement = EBinary(op, lhs, EIdent([label, "__sv"]))
+        return rel, edges, replacement
 
     # -- SELECT list / aggregate / order ---------------------------------------
     def _plan_select(self, stmt: SelectStmt, plan: PhysicalPlan,
@@ -752,6 +967,28 @@ class Planner:
         for oi in stmt.order_by:
             collect(oi.expr)
 
+        # COUNT(DISTINCT x) (Q16): two-stage — dedup on (group keys, x), then
+        # count x per group (count skips the NULL-x group, matching SQL)
+        if any(a.distinct for a in agg_nodes):
+            if len(agg_nodes) != 1 or agg_nodes[0].name != "count":
+                raise PlanError("only a single COUNT(DISTINCT x) aggregate "
+                                "is supported")
+            a = agg_nodes[0]
+            out_name = "__a0"
+            lowered = self.lower(a.args[0], plan.schema, scope)
+            pre_exprs.append((lowered, "__d0"))
+            pre_fields.append(self._field_for(lowered, "__d0", plan.schema))
+            plan = PProject(plan, pre_exprs, pre_fields)
+            gkeys = [n for _, n in pre_exprs if n.startswith("__g")]
+            plan = PAggregate(plan, gkeys + ["__d0"], [])
+            plan = PAggregate(plan, gkeys,
+                              [AggSpec("count", "__d0", out_name)])
+            post_map = {"group": group_map, "agg": {_ast_key(a): out_name}}
+            if stmt.having is not None:
+                plan = PFilter(plan, self._lower_post_agg(
+                    stmt.having, plan.schema, post_map, scope))
+            return plan, post_map
+
         aggs: List[AggSpec] = []
         agg_map: Dict[str, str] = {}
         for i, a in enumerate(agg_nodes):
@@ -760,8 +997,6 @@ class Planner:
             if a.star:
                 aggs.append(AggSpec("count_star", None, out_name))
                 continue
-            if a.distinct:
-                raise PlanError("DISTINCT aggregates not yet supported")
             arg = a.args[0]
             in_name = f"__ain{i}"
             lowered = self.lower(arg, plan.schema, scope)
@@ -804,6 +1039,9 @@ class Planner:
         if isinstance(n, ECast):
             return Cast(self._lower_post_agg(n.child, schema, post_map, scope),
                         _parse_type(n.type_name))
+        if isinstance(n, EScalarSubquery):
+            # HAVING agg > (SELECT ...) — Q11; uncorrelated scalar placeholder
+            return self.lower(n, schema, scope)
         raise PlanError(f"expression {ast_name(n)} is neither aggregated nor "
                         f"grouped")
 
@@ -850,11 +1088,21 @@ class Planner:
         folded = _const_date_fold(n)
         if folded is not None:
             return Lit(folded, DATE32)
+        if isinstance(n, (EBinary, EUnary)) and not isinstance(n, ELit):
+            f = _const_numeric_fold(n)
+            if f is not None:
+                if f.denominator == 1:
+                    iv = int(f)
+                    return Lit(iv, INT64 if abs(iv) > 2**31 - 1 else INT32)
+                return Lit(float(f), FLOAT64)
         if isinstance(n, EBinary):
             if n.op in ("=", "<>", "<", "<=", ">", ">="):
                 s = self._lower_string_compare(n, schema, scope)
                 if s is not None:
                     return s
+                d = self._lower_decimal_compare(n, schema, scope)
+                if d is not None:
+                    return d
             return BinOp(n.op, self.lower(n.left, schema, scope),
                          self.lower(n.right, schema, scope))
         if isinstance(n, EUnary):
@@ -942,6 +1190,44 @@ class Planner:
             dm = self.lower(n, schema, scope)
             return dm, dm.new_dictionary
         raise PlanError(f"unsupported string operand {n}")
+
+    def _lower_decimal_compare(self, n: EBinary, schema, scope) -> Optional[Expr]:
+        """decimal_expr CMP numeric_literal -> EXACT comparison in the scaled
+        integer domain. Floating the decimal (value / 10^scale) is unsafe:
+        XLA division is not correctly rounded on every backend, so boundary
+        predicates like Q6's `l_discount <= 0.06 + 0.01` lose rows."""
+        import math
+        for colnode, litnode, flip in ((n.left, n.right, False),
+                                       (n.right, n.left, True)):
+            f = _const_numeric_fold(litnode)
+            if f is None:
+                continue
+            lowered = self.lower(colnode, schema, scope)
+            if isinstance(lowered, Col):
+                dt = schema.field(lowered.name).dtype
+            else:
+                try:
+                    dt = infer_dtype(lowered, schema)
+                except Exception:
+                    return None
+            if dt.kind is not Kind.DECIMAL:
+                return None
+            op = n.op
+            if flip:
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            scaled = f * (10 ** dt.scale)
+            if scaled.denominator == 1:
+                return BinOp(op, lowered, Lit(int(scaled), dt, raw=True))
+            # literal not representable at this scale: adjust the bound
+            fl, ce = math.floor(scaled), math.ceil(scaled)
+            if op == "=":
+                return Lit(False, BOOL)
+            if op == "<>":
+                return Lit(True, BOOL)
+            if op in (">=", ">"):
+                return BinOp(">=", lowered, Lit(ce, dt, raw=True))
+            return BinOp("<=", lowered, Lit(fl, dt, raw=True))
+        return None
 
     def _lower_string_compare(self, n: EBinary, schema, scope) -> Optional[Expr]:
         """string_col CMP 'literal' -> code-space comparison."""

@@ -141,6 +141,58 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
     return DeviceTable(out_schema, cols, n_groups)
 
 
+def decompose_for_partial(aggs: List[AggSpec]):
+    """Two-phase (distributed) aggregation plan: AVG is not mergeable, so it
+    decomposes into SUM + COUNT partials merged by SUM and finished by a
+    divide. Returns (partial_specs, merge_specs, finishers) where finishers
+    maps each original output to a callable over the merged columns."""
+    partial: List[AggSpec] = []
+    merge: List[AggSpec] = []
+    finishers = []
+    for i, a in enumerate(aggs):
+        if a.func == "avg":
+            s, c = f"__ps{i}", f"__pc{i}"
+            partial += [AggSpec("sum", a.input, s), AggSpec("count", a.input, c)]
+            merge += [AggSpec("sum", s, s), AggSpec("sum", c, c)]
+            finishers.append((a, ("avg", s, c)))
+        elif a.func in ("count", "count_star"):
+            p = f"__p{i}"
+            partial.append(AggSpec(a.func, a.input, p))
+            merge.append(AggSpec("sum", p, p))
+            finishers.append((a, ("col", p)))
+        elif a.func in ("sum", "min", "max"):
+            p = f"__p{i}"
+            partial.append(AggSpec(a.func, a.input, p))
+            merge.append(AggSpec(a.func, p, p))
+            finishers.append((a, ("col", p)))
+        else:
+            raise ValueError(a.func)
+    return partial, merge, finishers
+
+
+def finish_partial(t: DeviceTable, group_keys: List[str], aggs: List[AggSpec],
+                   finishers, in_schema: Schema) -> DeviceTable:
+    """Apply finishers after the merge aggregate, restoring the exact
+    single-chip output schema."""
+    out_schema = agg_output_schema(in_schema, group_keys, aggs)
+    cols = {k: t.columns[k] for k in group_keys}
+    for a, fin in finishers:
+        out_dt = out_schema.field(a.output).dtype
+        if fin[0] == "col":
+            v, valid = t.columns[fin[1]]
+            cols[a.output] = (v.astype(out_dt.device_dtype), valid)
+        else:  # avg = sum / count
+            _, s_name, c_name = fin
+            s, svalid = t.columns[s_name]
+            c, _ = t.columns[c_name]
+            v = s.astype(jnp.float64) / jnp.maximum(c, 1)
+            if a.input is not None and \
+                    in_schema.field(a.input).dtype.kind is Kind.DECIMAL:
+                v = v / (10.0 ** in_schema.field(a.input).dtype.scale)
+            cols[a.output] = (v, svalid & (c > 0))
+    return DeviceTable(out_schema, cols, t.num_rows)
+
+
 def _dtype_max(dt):
     if dt in (jnp.float32, jnp.float64):
         return jnp.array(jnp.inf, dt)

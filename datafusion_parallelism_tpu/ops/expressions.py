@@ -73,6 +73,7 @@ class Col(Expr):
 class Lit(Expr):
     value: object            # python scalar or None
     dtype: DType
+    raw: bool = False        # DECIMAL only: value is already in scaled units
 
     def eval(self, t):
         cap = t.capacity
@@ -80,7 +81,7 @@ class Lit(Expr):
             return (jnp.zeros((cap,), self.dtype.device_dtype),
                     jnp.zeros((cap,), jnp.bool_), self.dtype)
         raw = self.value
-        if self.dtype.kind is Kind.DECIMAL:
+        if self.dtype.kind is Kind.DECIMAL and not self.raw:
             raw = int(round(float(raw) * 10 ** self.dtype.scale))
         v = jnp.full((cap,), raw, dtype=self.dtype.device_dtype)
         return v, jnp.ones((cap,), jnp.bool_), self.dtype
@@ -122,6 +123,18 @@ class BinOp(Expr):
                 # dictionary (codes are order-isomorphic); planner guarantees it
                 v = _CMP[op](lv, rv)
                 return v, valid, BOOL
+            if ldt.kind is Kind.DECIMAL and rdt.kind is Kind.DECIMAL \
+                    and ldt.scale == rdt.scale:
+                # exact: same-scale decimals compare in raw integer units
+                # (float conversion is unsafe — XLA division is not
+                # correctly rounded on all backends)
+                return _CMP[op](lv, rv), valid, BOOL
+            if ldt.kind is Kind.DECIMAL and rdt.kind in (Kind.INT32, Kind.INT64):
+                b = rv.astype(jnp.int64) * (10 ** ldt.scale)
+                return _CMP[op](lv.astype(jnp.int64), b), valid, BOOL
+            if rdt.kind is Kind.DECIMAL and ldt.kind in (Kind.INT32, Kind.INT64):
+                a = lv.astype(jnp.int64) * (10 ** rdt.scale)
+                return _CMP[op](a, rv.astype(jnp.int64)), valid, BOOL
             a, b, _ = _promote(lv, ldt, rv, rdt)
             return _CMP[op](a, b), valid, BOOL
         if op in _ARITH:

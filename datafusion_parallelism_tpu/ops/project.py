@@ -10,13 +10,19 @@ from ..utils.columnar import DeviceTable, Field, Kind, Schema
 from .expressions import Col, Expr
 
 
-def project_table(t: DeviceTable, exprs: List[Tuple[Expr, str]]) -> DeviceTable:
+def project_table(t: DeviceTable, exprs: List[Tuple[Expr, str]],
+                  out_fields: List[Field] = None) -> DeviceTable:
+    """out_fields: plan-time fields (dtype/dictionary authority — runtime
+    eval cannot see dictionaries of computed string exprs like substring)."""
     fields, cols = [], {}
-    for e, name in exprs:
+    for i, (e, name) in enumerate(exprs):
         v, valid, dt = e.eval(t)
-        dictionary = None
-        if isinstance(e, Col) and dt.kind is Kind.STRING:
-            dictionary = t.schema.field(e.name).dictionary
-        fields.append(Field(name, dt, nullable=True, dictionary=dictionary))
+        if out_fields is not None:
+            fields.append(out_fields[i])
+        else:
+            dictionary = None
+            if isinstance(e, Col) and dt.kind is Kind.STRING:
+                dictionary = t.schema.field(e.name).dictionary
+            fields.append(Field(name, dt, nullable=True, dictionary=dictionary))
         cols[name] = (v, valid)
     return DeviceTable(Schema(fields), cols, t.num_rows)

@@ -1,0 +1,158 @@
+"""TPC-H benchmark CLI.
+
+Mirrors the reference harness `tpc/src/main.rs`: the same flags
+(--concurrency --iterations --query --from-memory --memory-partitions
+--print-plan, reference tpc/src/main.rs:59-114), the same Results JSON
+(system_time, engine version, config, args, register_tables_time,
+query_times — reference tpc/src/main.rs:116-141,271-285), per-query CSV
+timings, and first-iteration answer CSVs for checking.
+
+Usage:
+    python -m datafusion_parallelism_tpu.tpch.cli \
+        --scale-factor 0.01 --query 5 --iterations 3 --output-path results/
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from datetime import datetime
+
+from .. import SessionConfig, SessionContext, __version__
+from ..ops.hash_table import JoinStrategy
+from .datagen import generate_tables
+from .oracle import oracle_query
+from .queries import QUERIES
+
+
+def run(argv=None) -> dict:
+    ap = argparse.ArgumentParser("tpch")
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help="target partitions (mesh width for distributed runs)")
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--query", type=int, action="append", default=None,
+                    help="query number 1-22; repeatable; default all")
+    ap.add_argument("--scale-factor", type=float, default=0.01)
+    ap.add_argument("--from-memory", action="store_true", default=True)
+    ap.add_argument("--memory-partitions", type=int, default=None)
+    ap.add_argument("--join-strategy", default="csr",
+                    choices=[s.value for s in JoinStrategy],
+                    help="analog of the reference's --new-join-replacement")
+    ap.add_argument("--print-plan", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="validate results against the Python oracle")
+    ap.add_argument("--output-path", default=None)
+    args = ap.parse_args(argv)
+
+    queries = args.query or sorted(QUERIES)
+    t0 = time.time()
+    tables = generate_tables(sf=args.scale_factor)
+    cfg = SessionConfig(target_partitions=args.concurrency,
+                        join_strategy=JoinStrategy(args.join_strategy))
+    ctx = SessionContext(cfg)
+    for n, t in tables.items():
+        ctx.register_table(n, t)
+    register_time = time.time() - t0
+
+    results = {
+        "system_time": datetime.now().isoformat(),
+        "engine": "datafusion_parallelism_tpu",
+        "engine_version": __version__,
+        "config": {"scale_factor": args.scale_factor,
+                   "join_strategy": args.join_strategy},
+        "args": vars(args),
+        "register_tables_time_s": register_time,
+        "query_times_ms": {},
+        "query_metrics": {},
+        "checked": {},
+    }
+
+    outdir = args.output_path
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+
+    for q in queries:
+        handle = ctx.sql(QUERIES[q])
+        if args.print_plan:
+            print(f"-- Q{q} plan --\n{handle.explain()}")
+        times = []
+        first_rows = None
+        for it in range(args.iterations):
+            t0 = time.time()
+            out = handle.collect()
+            times.append((time.time() - t0) * 1000)
+            if it == 0:
+                first_rows = out.to_pylist()
+        results["query_times_ms"][q] = times
+        m = handle.metrics
+        results["query_metrics"][q] = {
+            "compiles": m.compile_count, "compile_time_s": m.compile_time_s,
+            "retries": m.retries, "join_caps": m.join_caps}
+        status = ""
+        if args.check:
+            expected = oracle_query(q, tables)
+            ok = _rows_match(first_rows, expected)
+            results["checked"][q] = ok
+            status = " check=" + ("PASS" if ok else "FAIL")
+        print(f"Q{q}: best {min(times):.1f} ms over {len(times)} iters "
+              f"(compile {m.compile_time_s:.1f}s, retries {m.retries})"
+              f"{status}", flush=True)
+        if outdir and first_rows is not None:
+            with open(os.path.join(outdir, f"q{q}.csv"), "w", newline="") as f:
+                if first_rows:
+                    w = csv.DictWriter(f, fieldnames=list(first_rows[0]))
+                    w.writeheader()
+                    w.writerows(first_rows)
+
+    if outdir:
+        with open(os.path.join(outdir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        with open(os.path.join(outdir, "timings.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["query", "iteration", "ms"])
+            for q, ts in results["query_times_ms"].items():
+                for i, ms in enumerate(ts):
+                    w.writerow([q, i, ms])
+    return results
+
+
+def _rows_match(actual, expected) -> bool:
+    import math
+
+    def key(r):
+        return tuple(sorted((k, repr(v)) for k, v in r.items()))
+
+    if len(actual) != len(expected):
+        return False
+
+    def norm(rows):
+        names = sorted({k for r in rows for k in r})
+        out = []
+        for r in rows:
+            row = []
+            for n in names:
+                v = r.get(n)
+                if isinstance(v, float):
+                    v = round(v, 4)
+                row.append((n, v))
+            out.append(tuple(row))
+        return sorted(out)
+
+    a, e = norm(actual), norm(expected)
+    for ra, re_ in zip(a, e):
+        for (na, va), (ne, ve) in zip(ra, re_):
+            if na != ne:
+                return False
+            if isinstance(va, float) and isinstance(ve, float):
+                if not math.isclose(va, ve, rel_tol=1e-6, abs_tol=1e-4):
+                    return False
+            elif va != ve:
+                return False
+    return True
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,503 @@
+"""Independent reference implementations of the 22 TPC-H queries.
+
+Pure Python over row dicts — deliberately naive and engine-independent, the
+answer-checking role of the reference's first-iteration result CSVs
+(reference tpc/src/main.rs:368-377). Used by tests to assert result equality
+on the generated dataset.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import date, timedelta
+from typing import Dict, List
+
+from ..utils.columnar import HostTable, date32_of
+
+
+def _rows(t: HostTable) -> List[dict]:
+    return t.to_pylist()
+
+
+def _d(s: str) -> int:
+    return date32_of(s)
+
+
+def _year(days: int) -> int:
+    return (date(1970, 1, 1) + timedelta(days=days)).year
+
+
+def _sorted_limit(rows, key, limit=None):
+    rows = sorted(rows, key=key)
+    return rows[:limit] if limit else rows
+
+
+def oracle_query(q: int, tables: Dict[str, HostTable]) -> List[dict]:
+    li = _rows(tables["lineitem"])
+    return _IMPL[q](tables, li)
+
+
+def _q1(t, li):
+    cutoff = _d("1998-12-01") - 90
+    groups = defaultdict(list)
+    for r in li:
+        if r["l_shipdate"] <= cutoff:
+            groups[(r["l_returnflag"], r["l_linestatus"])].append(r)
+    out = []
+    for (rf, ls), rows in groups.items():
+        n = len(rows)
+        disc_price = [r["l_extendedprice"] * (1 - r["l_discount"]) for r in rows]
+        charge = [r["l_extendedprice"] * (1 - r["l_discount"]) * (1 + r["l_tax"])
+                  for r in rows]
+        out.append({
+            "l_returnflag": rf, "l_linestatus": ls,
+            "sum_qty": sum(r["l_quantity"] for r in rows),
+            "sum_base_price": sum(r["l_extendedprice"] for r in rows),
+            "sum_disc_price": sum(disc_price),
+            "sum_charge": sum(charge),
+            "avg_qty": sum(r["l_quantity"] for r in rows) / n,
+            "avg_price": sum(r["l_extendedprice"] for r in rows) / n,
+            "avg_disc": sum(r["l_discount"] for r in rows) / n,
+            "count_order": n,
+        })
+    return _sorted_limit(out, lambda r: (r["l_returnflag"], r["l_linestatus"]))
+
+
+def _q2(t, li):
+    part = _rows(t["part"])
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    ps = _rows(t["partsupp"])
+    nat = {r["n_nationkey"]: r for r in _rows(t["nation"])}
+    reg = {r["r_regionkey"]: r for r in _rows(t["region"])}
+
+    def in_europe(s):
+        return reg[nat[s["s_nationkey"]]["n_regionkey"]]["r_name"] == "EUROPE"
+
+    min_cost = {}
+    for r in ps:
+        s = supp[r["ps_suppkey"]]
+        if in_europe(s):
+            k = r["ps_partkey"]
+            min_cost[k] = min(min_cost.get(k, 1e30), r["ps_supplycost"])
+    out = []
+    for p in part:
+        if p["p_size"] != 15 or not p["p_type"].endswith("BRASS"):
+            continue
+        for r in ps:
+            if r["ps_partkey"] != p["p_partkey"]:
+                continue
+            s = supp[r["ps_suppkey"]]
+            if not in_europe(s):
+                continue
+            if r["ps_supplycost"] == min_cost.get(p["p_partkey"]):
+                n = nat[s["s_nationkey"]]
+                out.append({"s_acctbal": s["s_acctbal"], "s_name": s["s_name"],
+                            "n_name": n["n_name"], "p_partkey": p["p_partkey"],
+                            "p_mfgr": p["p_mfgr"], "s_address": s["s_address"],
+                            "s_phone": s["s_phone"], "s_comment": s["s_comment"]})
+    return _sorted_limit(out, lambda r: (-r["s_acctbal"], r["n_name"],
+                                         r["s_name"], r["p_partkey"]), 100)
+
+
+def _q3(t, li):
+    cut = _d("1995-03-15")
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])
+            if r["c_mktsegment"] == "BUILDING"}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])
+              if r["o_orderdate"] < cut and r["o_custkey"] in cust}
+    groups = defaultdict(float)
+    meta = {}
+    for r in li:
+        o = orders.get(r["l_orderkey"])
+        if o is None or r["l_shipdate"] <= cut:
+            continue
+        k = (r["l_orderkey"], o["o_orderdate"], o["o_shippriority"])
+        groups[k] += r["l_extendedprice"] * (1 - r["l_discount"])
+        meta[k] = o
+    out = [{"l_orderkey": k[0], "revenue": v, "o_orderdate": k[1],
+            "o_shippriority": k[2]} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: (-r["revenue"], r["o_orderdate"]), 10)
+
+
+def _q4(t, li):
+    lo, hi = _d("1993-07-01"), _d("1993-10-01")
+    late = {r["l_orderkey"] for r in li
+            if r["l_commitdate"] < r["l_receiptdate"]}
+    groups = defaultdict(int)
+    for o in _rows(t["orders"]):
+        if lo <= o["o_orderdate"] < hi and o["o_orderkey"] in late:
+            groups[o["o_orderpriority"]] += 1
+    out = [{"o_orderpriority": k, "order_count": v} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: r["o_orderpriority"])
+
+
+def _q5(t, li):
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    nat = {r["n_nationkey"]: r for r in _rows(t["nation"])}
+    reg = {r["r_regionkey"]: r for r in _rows(t["region"])}
+    asia = {k: n for k, n in nat.items()
+            if reg[n["n_regionkey"]]["r_name"] == "ASIA"}
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])}
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])
+              if lo <= r["o_orderdate"] < hi}
+    groups = defaultdict(float)
+    for r in li:
+        o = orders.get(r["l_orderkey"])
+        if o is None:
+            continue
+        c = cust[o["o_custkey"]]
+        s = supp[r["l_suppkey"]]
+        if c["c_nationkey"] != s["s_nationkey"]:
+            continue
+        n = asia.get(s["s_nationkey"])
+        if n is None:
+            continue
+        groups[n["n_name"]] += r["l_extendedprice"] * (1 - r["l_discount"])
+    out = [{"n_name": k, "revenue": v} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: -r["revenue"])
+
+
+def _q6(t, li):
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    rev = sum(r["l_extendedprice"] * r["l_discount"] for r in li
+              if lo <= r["l_shipdate"] < hi
+              and 0.05 <= r["l_discount"] <= 0.07
+              and r["l_quantity"] < 24)
+    return [{"revenue": rev if rev else None}]
+
+
+def _q7(t, li):
+    lo, hi = _d("1995-01-01"), _d("1996-12-31")
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])}
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])}
+    groups = defaultdict(float)
+    for r in li:
+        if not (lo <= r["l_shipdate"] <= hi):
+            continue
+        s = supp[r["l_suppkey"]]
+        o = orders[r["l_orderkey"]]
+        c = cust[o["o_custkey"]]
+        n1, n2 = nat[s["s_nationkey"]], nat[c["c_nationkey"]]
+        if {n1, n2} != {"FRANCE", "GERMANY"}:
+            continue
+        key = (n1, n2, _year(r["l_shipdate"]))
+        groups[key] += r["l_extendedprice"] * (1 - r["l_discount"])
+    out = [{"supp_nation": k[0], "cust_nation": k[1], "l_year": k[2],
+            "revenue": v} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: (r["supp_nation"], r["cust_nation"],
+                                         r["l_year"]))
+
+
+def _q8(t, li):
+    lo, hi = _d("1995-01-01"), _d("1996-12-31")
+    nat = {r["n_nationkey"]: r for r in _rows(t["nation"])}
+    reg = {r["r_regionkey"]: r["r_name"] for r in _rows(t["region"])}
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])}
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    part = {r["p_partkey"]: r for r in _rows(t["part"])}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])}
+    by_year = defaultdict(lambda: [0.0, 0.0])  # year -> [brazil_vol, total]
+    for r in li:
+        p = part[r["l_partkey"]]
+        if p["p_type"] != "ECONOMY ANODIZED STEEL":
+            continue
+        o = orders[r["l_orderkey"]]
+        if not (lo <= o["o_orderdate"] <= hi):
+            continue
+        c = cust[o["o_custkey"]]
+        if reg[nat[c["c_nationkey"]]["n_regionkey"]] != "AMERICA":
+            continue
+        s = supp[r["l_suppkey"]]
+        vol = r["l_extendedprice"] * (1 - r["l_discount"])
+        y = _year(o["o_orderdate"])
+        by_year[y][1] += vol
+        if nat[s["s_nationkey"]]["n_name"] == "BRAZIL":
+            by_year[y][0] += vol
+    out = [{"o_year": y, "mkt_share": bz / tot if tot else None}
+           for y, (bz, tot) in by_year.items()]
+    return _sorted_limit(out, lambda r: r["o_year"])
+
+
+def _q9(t, li):
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    part = {r["p_partkey"]: r for r in _rows(t["part"])}
+    ps_cost = {(r["ps_partkey"], r["ps_suppkey"]): r["ps_supplycost"]
+               for r in _rows(t["partsupp"])}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])}
+    groups = defaultdict(float)
+    for r in li:
+        p = part[r["l_partkey"]]
+        if "green" not in p["p_name"]:
+            continue
+        s = supp[r["l_suppkey"]]
+        cost = ps_cost[(r["l_partkey"], r["l_suppkey"])]
+        o = orders[r["l_orderkey"]]
+        amount = (r["l_extendedprice"] * (1 - r["l_discount"])
+                  - cost * r["l_quantity"])
+        groups[(nat[s["s_nationkey"]], _year(o["o_orderdate"]))] += amount
+    out = [{"nation": k[0], "o_year": k[1], "sum_profit": v}
+           for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: (r["nation"], -r["o_year"]))
+
+
+def _q10(t, li):
+    lo, hi = _d("1993-10-01"), _d("1994-01-01")
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])}
+    orders = {r["o_orderkey"]: r for r in _rows(t["orders"])
+              if lo <= r["o_orderdate"] < hi}
+    groups = defaultdict(float)
+    for r in li:
+        if r["l_returnflag"] != "R":
+            continue
+        o = orders.get(r["l_orderkey"])
+        if o is None:
+            continue
+        c = cust[o["o_custkey"]]
+        k = (c["c_custkey"], c["c_name"], c["c_acctbal"], c["c_phone"],
+             nat[c["c_nationkey"]], c["c_address"], c["c_comment"])
+        groups[k] += r["l_extendedprice"] * (1 - r["l_discount"])
+    out = [{"c_custkey": k[0], "c_name": k[1], "revenue": v, "c_acctbal": k[2],
+            "n_name": k[4], "c_address": k[5], "c_phone": k[3],
+            "c_comment": k[6]} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: -r["revenue"], 20)
+
+
+def _q11(t, li):
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    groups = defaultdict(float)
+    total = 0.0
+    for r in _rows(t["partsupp"]):
+        if nat[supp[r["ps_suppkey"]]["s_nationkey"]] != "GERMANY":
+            continue
+        v = r["ps_supplycost"] * r["ps_availqty"]
+        groups[r["ps_partkey"]] += v
+        total += v
+    thresh = total * 0.0001
+    out = [{"ps_partkey": k, "value": v} for k, v in groups.items()
+           if v > thresh]
+    return _sorted_limit(out, lambda r: -r["value"])
+
+
+def _q12(t, li):
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    prio = {r["o_orderkey"]: r["o_orderpriority"] for r in _rows(t["orders"])}
+    groups = defaultdict(lambda: [0, 0])
+    for r in li:
+        if (r["l_shipmode"] in ("MAIL", "SHIP")
+                and r["l_commitdate"] < r["l_receiptdate"]
+                and r["l_shipdate"] < r["l_commitdate"]
+                and lo <= r["l_receiptdate"] < hi):
+            high = prio[r["l_orderkey"]] in ("1-URGENT", "2-HIGH")
+            groups[r["l_shipmode"]][0 if high else 1] += 1
+    out = [{"l_shipmode": k, "high_line_count": v[0], "low_line_count": v[1]}
+           for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: r["l_shipmode"])
+
+
+def _q13(t, li):
+    import re
+    pat = re.compile("^.*special.*requests.*$")
+    counts = defaultdict(int)
+    for o in _rows(t["orders"]):
+        if not pat.match(o["o_comment"]):
+            counts[o["o_custkey"]] += 1
+    dist = defaultdict(int)
+    for c in _rows(t["customer"]):
+        dist[counts.get(c["c_custkey"], 0)] += 1
+    out = [{"c_count": k, "custdist": v} for k, v in dist.items()]
+    return _sorted_limit(out, lambda r: (-r["custdist"], -r["c_count"]))
+
+
+def _q14(t, li):
+    lo, hi = _d("1995-09-01"), _d("1995-10-01")
+    ptype = {r["p_partkey"]: r["p_type"] for r in _rows(t["part"])}
+    promo = total = 0.0
+    for r in li:
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        v = r["l_extendedprice"] * (1 - r["l_discount"])
+        total += v
+        if ptype[r["l_partkey"]].startswith("PROMO"):
+            promo += v
+    return [{"promo_revenue": 100.0 * promo / total if total else None}]
+
+
+def _q15(t, li):
+    lo, hi = _d("1996-01-01"), _d("1996-04-01")
+    rev = defaultdict(float)
+    for r in li:
+        if lo <= r["l_shipdate"] < hi:
+            rev[r["l_suppkey"]] += r["l_extendedprice"] * (1 - r["l_discount"])
+    if not rev:
+        return []
+    mx = max(rev.values())
+    out = []
+    for s in _rows(t["supplier"]):
+        v = rev.get(s["s_suppkey"])
+        if v is not None and v == mx:
+            out.append({"s_suppkey": s["s_suppkey"], "s_name": s["s_name"],
+                        "s_address": s["s_address"], "s_phone": s["s_phone"],
+                        "total_revenue": v})
+    return _sorted_limit(out, lambda r: r["s_suppkey"])
+
+
+def _q16(t, li):
+    import re
+    bad = {r["s_suppkey"] for r in _rows(t["supplier"])
+           if re.match("^.*Customer.*Complaints.*$", r["s_comment"])}
+    sizes = {49, 14, 23, 45, 19, 3, 36, 9}
+    part = {r["p_partkey"]: r for r in _rows(t["part"])}
+    groups = defaultdict(set)
+    for r in _rows(t["partsupp"]):
+        p = part[r["ps_partkey"]]
+        if (p["p_brand"] != "Brand#45"
+                and not p["p_type"].startswith("MEDIUM POLISHED")
+                and p["p_size"] in sizes
+                and r["ps_suppkey"] not in bad):
+            groups[(p["p_brand"], p["p_type"], p["p_size"])].add(r["ps_suppkey"])
+    out = [{"p_brand": k[0], "p_type": k[1], "p_size": k[2],
+            "supplier_cnt": len(v)} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: (-r["supplier_cnt"], r["p_brand"],
+                                         r["p_type"], r["p_size"]))
+
+
+def _q17(t, li):
+    part_ok = {r["p_partkey"] for r in _rows(t["part"])
+               if r["p_brand"] == "Brand#23" and r["p_container"] == "MED BOX"}
+    qty = defaultdict(list)
+    for r in li:
+        qty[r["l_partkey"]].append(r["l_quantity"])
+    total = 0.0
+    any_row = False
+    for r in li:
+        if r["l_partkey"] not in part_ok:
+            continue
+        avg = sum(qty[r["l_partkey"]]) / len(qty[r["l_partkey"]])
+        if r["l_quantity"] < 0.2 * avg:
+            total += r["l_extendedprice"]
+            any_row = True
+    return [{"avg_yearly": total / 7.0 if any_row else None}]
+
+
+def _q18(t, li):
+    qty = defaultdict(float)
+    for r in li:
+        qty[r["l_orderkey"]] += r["l_quantity"]
+    big = {k for k, v in qty.items() if v > 300}
+    cust = {r["c_custkey"]: r for r in _rows(t["customer"])}
+    out = []
+    for o in _rows(t["orders"]):
+        if o["o_orderkey"] not in big:
+            continue
+        c = cust[o["o_custkey"]]
+        out.append({"c_name": c["c_name"], "c_custkey": c["c_custkey"],
+                    "o_orderkey": o["o_orderkey"],
+                    "o_orderdate": o["o_orderdate"],
+                    "o_totalprice": o["o_totalprice"],
+                    "sum_qty": qty[o["o_orderkey"]]})
+    return _sorted_limit(out, lambda r: (-r["o_totalprice"], r["o_orderdate"]),
+                         100)
+
+
+def _q19(t, li):
+    part = {r["p_partkey"]: r for r in _rows(t["part"])}
+    branches = [
+        ("Brand#12", {"SM CASE", "SM BOX", "SM PACK", "SM PKG"}, 1, 11, 5),
+        ("Brand#23", {"MED BAG", "MED BOX", "MED PKG", "MED PACK"}, 10, 20, 10),
+        ("Brand#34", {"LG CASE", "LG BOX", "LG PACK", "LG PKG"}, 20, 30, 15),
+    ]
+    rev = 0.0
+    matched = False
+    for r in li:
+        if (r["l_shipmode"] not in ("AIR", "AIR REG")
+                or r["l_shipinstruct"] != "DELIVER IN PERSON"):
+            continue
+        p = part[r["l_partkey"]]
+        for brand, conts, qlo, qhi, smax in branches:
+            if (p["p_brand"] == brand and p["p_container"] in conts
+                    and qlo <= r["l_quantity"] <= qhi
+                    and 1 <= p["p_size"] <= smax):
+                rev += r["l_extendedprice"] * (1 - r["l_discount"])
+                matched = True
+                break
+    return [{"revenue": rev if matched else None}]
+
+
+def _q20(t, li):
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    forest = {r["p_partkey"] for r in _rows(t["part"])
+              if r["p_name"].startswith("forest")}
+    shipped = defaultdict(float)
+    for r in li:
+        if lo <= r["l_shipdate"] < hi:
+            shipped[(r["l_partkey"], r["l_suppkey"])] += r["l_quantity"]
+    good_supp = set()
+    for r in _rows(t["partsupp"]):
+        k = (r["ps_partkey"], r["ps_suppkey"])
+        if (r["ps_partkey"] in forest and k in shipped
+                and r["ps_availqty"] > 0.5 * shipped[k]):
+            good_supp.add(r["ps_suppkey"])
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    out = [{"s_name": s["s_name"], "s_address": s["s_address"]}
+           for s in _rows(t["supplier"])
+           if s["s_suppkey"] in good_supp
+           and nat[s["s_nationkey"]] == "CANADA"]
+    return _sorted_limit(out, lambda r: r["s_name"])
+
+
+def _q21(t, li):
+    status = {r["o_orderkey"]: r["o_orderstatus"] for r in _rows(t["orders"])}
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(t["nation"])}
+    supp = {r["s_suppkey"]: r for r in _rows(t["supplier"])}
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append(r)
+    groups = defaultdict(int)
+    for r in li:
+        if r["l_receiptdate"] <= r["l_commitdate"]:
+            continue
+        if status.get(r["l_orderkey"]) != "F":
+            continue
+        s = supp[r["l_suppkey"]]
+        if nat[s["s_nationkey"]] != "SAUDI ARABIA":
+            continue
+        others = [x for x in by_order[r["l_orderkey"]]
+                  if x["l_suppkey"] != r["l_suppkey"]]
+        if not others:
+            continue
+        if any(x["l_receiptdate"] > x["l_commitdate"] for x in others):
+            continue
+        groups[s["s_name"]] += 1
+    out = [{"s_name": k, "numwait": v} for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: (-r["numwait"], r["s_name"]), 100)
+
+
+def _q22(t, li):
+    codes = {"13", "31", "23", "29", "30", "18", "17"}
+    cust = _rows(t["customer"])
+    eligible = [c for c in cust if c["c_phone"][:2] in codes]
+    pos = [c["c_acctbal"] for c in eligible if c["c_acctbal"] > 0.0]
+    if not pos:
+        return []
+    avg = sum(pos) / len(pos)
+    has_order = {r["o_custkey"] for r in _rows(t["orders"])}
+    groups = defaultdict(lambda: [0, 0.0])
+    for c in eligible:
+        if c["c_acctbal"] > avg and c["c_custkey"] not in has_order:
+            g = groups[c["c_phone"][:2]]
+            g[0] += 1
+            g[1] += c["c_acctbal"]
+    out = [{"cntrycode": k, "numcust": v[0], "totacctbal": v[1]}
+           for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: r["cntrycode"])
+
+
+_IMPL = {1: _q1, 2: _q2, 3: _q3, 4: _q4, 5: _q5, 6: _q6, 7: _q7, 8: _q8,
+         9: _q9, 10: _q10, 11: _q11, 12: _q12, 13: _q13, 14: _q14, 15: _q15,
+         16: _q16, 17: _q17, 18: _q18, 19: _q19, 20: _q20, 21: _q21, 22: _q22}
