@@ -24,7 +24,7 @@ import numpy as np
 
 N_ROWS = 512 * 8192          # reference Size512
 KEY_RANGE = N_ROWS           # ~1 match per probe row
-OUT_CAP = 2 * N_ROWS
+OUT_CAP = N_ROWS + N_ROWS // 2   # ~1 match/row + <=cap/4 bucket collisions
 ITERS = 20
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 

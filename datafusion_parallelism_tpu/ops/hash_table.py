@@ -42,12 +42,18 @@ class JoinTable(NamedTuple):
 
     kind_csr:  offsets[T+2] bucket starts into perm; bucket T holds rows with
                null keys / padding so valid buckets never see them.
+               start_count[T+1] packs (start << 32 | count) per bucket and
+               perm_hash[cap] packs (row hash << 32 | perm row id) — gathers
+               on TPU cost per index, so probe-side lookups fetch both halves
+               of each pair in ONE gather.
     kind_sort: sorted_hash[cap] + perm; offsets is unused (size 1).
     """
     offsets: jnp.ndarray      # int32; size-1 dummy under SORT
     perm: jnp.ndarray         # int32[cap] row ids in bucket/sorted order
     hashes: jnp.ndarray       # uint32[cap] per original row
     sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) or size-1 dummy (CSR)
+    start_count: jnp.ndarray  # int64[T+1] (CSR) or size-1 dummy
+    perm_hash: jnp.ndarray    # int64[cap] (CSR) or size-1 dummy
 
     @property
     def is_sort(self) -> bool:
@@ -56,7 +62,9 @@ class JoinTable(NamedTuple):
 
 
 def table_size_for(capacity: int) -> int:
-    return max(2 * capacity, 128)
+    # 4x load headroom: every probe-side op scales with the candidate count,
+    # and false bucket collisions add ~cap/4 candidates at 4x (vs cap/2 at 2x)
+    return max(4 * capacity, 128)
 
 
 def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
@@ -69,7 +77,12 @@ def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTabl
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts, dtype=jnp.int32)])
     perm = jnp.argsort(slot, stable=True).astype(jnp.int32)
-    return JoinTable(offsets, perm, hashes, jnp.zeros((1,), jnp.int64))
+    start_count = ((offsets[:-1].astype(jnp.int64) << jnp.int64(32))
+                   | counts.astype(jnp.uint32).astype(jnp.int64))
+    perm_hash = ((jnp.take(hashes, perm).astype(jnp.int64) << jnp.int64(32))
+                 | perm.astype(jnp.uint32).astype(jnp.int64))
+    return JoinTable(offsets, perm, hashes, jnp.zeros((1,), jnp.int64),
+                     start_count, perm_hash)
 
 
 def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
@@ -81,7 +94,9 @@ def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinT
     key = jnp.where(ok, hashes.astype(jnp.int64), jnp.int64(1) << 33)
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     sorted_key = jnp.take(key, perm)
-    return JoinTable(jnp.zeros((1,), jnp.int32), perm, hashes, sorted_key)
+    dummy = jnp.zeros((1,), jnp.int64)
+    return JoinTable(jnp.zeros((1,), jnp.int32), perm, hashes, sorted_key,
+                     dummy, dummy)
 
 
 def build_join_table(hashes, key_valid, num_rows,
@@ -101,7 +116,9 @@ class Candidates(NamedTuple):
 
 def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
                  probe_key_valid: jnp.ndarray, probe_num_rows):
-    """Per probe row: (start, count) range of hash-bucket candidates in perm."""
+    """Per probe row: (start, count) range of hash-bucket candidates in perm.
+
+    CSR path fetches the packed (start, count) bucket pair in ONE gather."""
     mcap = probe_hashes.shape[0]
     in_row = jnp.arange(mcap, dtype=jnp.int32) < probe_num_rows
     ok = in_row & probe_key_valid
@@ -115,8 +132,9 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
     else:
         T = table.offsets.shape[0] - 2
         slot = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
-        start = jnp.take(table.offsets, slot, mode="clip")
-        count = jnp.take(table.offsets, slot + 1, mode="clip") - start
+        sc = jnp.take(table.start_count, slot, mode="clip")
+        start = (sc >> jnp.int64(32)).astype(jnp.int32)
+        count = jnp.bitwise_and(sc, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
     count = jnp.where(ok, count, 0)
     return start, count
 
@@ -126,8 +144,9 @@ def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
     """Expansion of variable-length candidate ranges into a flat list.
 
     scatter + cummax, O(out_cap): each probe row with matches scatters its id
-    at its first output slot, a prefix max fills the gaps. Replaces a
-    searchsorted (log n gathers per output slot)."""
+    at its first output slot, a prefix max fills the gaps. Per-probe-row
+    state (start, base, hash) rides ONE packed row-gather; the build row id
+    and its hash ride one packed int64 gather."""
     import jax.lax
     cum = jnp.cumsum(count, dtype=jnp.int32)
     total = cum[-1]
@@ -137,16 +156,20 @@ def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
               .at[jnp.where(count > 0, base_per_row, out_cap)]
               .max(jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop"))
     probe_idx = jax.lax.cummax(marker)
-    base = jnp.take(base_per_row, probe_idx, mode="clip")
-    k = j - base
-    pos = jnp.take(start, probe_idx, mode="clip") + k
-    build_idx = jnp.take(table.perm, pos, mode="clip")
+    # one row-gather for all per-probe-row values
+    probe_state = jnp.stack(
+        [start, base_per_row, probe_hashes.view(jnp.int32)], axis=1)
+    gstate = jnp.take(probe_state, probe_idx, axis=0, mode="clip")
+    pos = gstate[:, 0] + (j - gstate[:, 1])
     cand = j < total
     if table.is_sort:
+        build_idx = jnp.take(table.perm, pos, mode="clip")
         hash_eq = jnp.ones_like(cand)  # equal by construction of the range
     else:
-        hash_eq = (jnp.take(table.hashes, build_idx, mode="clip")
-                   == jnp.take(probe_hashes, probe_idx, mode="clip"))
+        ph = jnp.take(table.perm_hash, pos, mode="clip")
+        build_idx = jnp.bitwise_and(ph, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        bhash = (ph >> jnp.int64(32)).astype(jnp.uint32)
+        hash_eq = bhash == gstate[:, 2].view(jnp.uint32)
     return Candidates(probe_idx, build_idx, cand & hash_eq, total)
 
 

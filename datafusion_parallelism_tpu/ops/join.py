@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..utils.columnar import (DeviceTable, Schema, compaction_indices,
                               gather_table, hstack_tables,
                               null_columns_like, concat_tables,
+                              pack_table, unpack_table,
                               filter_rows as _filter_rows)
 from .hashing import hash_rows
 from .hash_table import (JoinStrategy, build_join_table, probe_candidates)
@@ -103,28 +104,29 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     table = build_join_table(bh, bkv, build.num_rows, strategy)
     cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
 
+    # ONE packed row-gather per side fetches every column + validity of each
+    # candidate pair (gathers cost per index, not per byte — see pack_table)
+    bpacked, blayout = pack_table(build)
+    ppacked, playout = pack_table(probe)
+    gb = jnp.take(bpacked, cands.build_idx, axis=0, mode="clip")
+    gp = jnp.take(ppacked, cands.probe_idx, axis=0, mode="clip")
+    cand_in = jnp.ones((out_cap,), jnp.bool_)
+    gbt = unpack_table(gb, blayout, build.schema, out_cap, cand_in)
+    gpt = unpack_table(gp, playout, probe.schema, out_cap, cand_in)
+
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
     eq = cands.valid
     for bk, pk in zip(build_keys, probe_keys):
-        bv, bvalid = build.column(bk)
-        pv, pvalid = probe.column(pk)
-        gb = jnp.take(bv, cands.build_idx, mode="clip")
-        gp = jnp.take(pv, cands.probe_idx, mode="clip")
-        gbv = jnp.take(bvalid, cands.build_idx, mode="clip")
-        gpv = jnp.take(pvalid, cands.probe_idx, mode="clip")
-        if gb.dtype != gp.dtype:
-            wide = jnp.promote_types(gb.dtype, gp.dtype)
-            gb, gp = gb.astype(wide), gp.astype(wide)
-        eq = eq & gbv & gpv & (gb == gp)
+        bv, gbv = gbt.column(bk)
+        pv, gpv = gpt.column(pk)
+        if bv.dtype != pv.dtype:
+            wide = jnp.promote_types(bv.dtype, pv.dtype)
+            bv, pv = bv.astype(wide), pv.astype(wide)
+        eq = eq & gbv & gpv & (bv == pv)
     match = eq
 
     if residual is not None:
-        cand_rows = jnp.arange(out_cap, dtype=jnp.int32)
-        bt = gather_table(build, cands.build_idx, out_cap,
-                          cand_rows < out_cap)
-        pt = gather_table(probe, cands.probe_idx, out_cap,
-                          cand_rows < out_cap)
-        pair_tbl = hstack_tables(bt, pt, out_cap)
+        pair_tbl = hstack_tables(gbt, gpt, out_cap)
         rvals, rvalid = residual(pair_tbl)
         match = match & rvalid & rvals
 
@@ -141,8 +143,10 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     def pairs_table() -> DeviceTable:
         gidx, n = compaction_indices(match)
         ok = jnp.arange(out_cap, dtype=jnp.int32) < n
-        bt = gather_table(build, jnp.take(cands.build_idx, gidx), n, ok)
-        pt = gather_table(probe, jnp.take(cands.probe_idx, gidx), n, ok)
+        fb = jnp.take(gb, gidx, axis=0)
+        fp = jnp.take(gp, gidx, axis=0)
+        bt = unpack_table(fb, blayout, build.schema, n, ok)
+        pt = unpack_table(fp, playout, probe.schema, n, ok)
         return hstack_tables(bt, pt, n)
 
     def unmatched_build() -> DeviceTable:

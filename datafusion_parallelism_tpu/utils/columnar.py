@@ -426,6 +426,88 @@ def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndar
     return cols
 
 
+# ---------------------------------------------------------------------------
+# Row packing: all columns + validity of a table in ONE [cap, W] int32 matrix.
+#
+# TPU gathers cost per-INDEX, nearly independent of row width (measured:
+# 8-wide row gather = 1.6x a scalar gather, two scalar gathers = 2.5x). The
+# join's output materialization therefore gathers PACKED ROWS once instead of
+# 2 gathers per column (values + validity).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PackedLayout:
+    fields: Tuple[Tuple[str, Kind, int, int], ...]  # (name, kind, slot, nslots)
+    valid_base: int
+    width: int
+
+
+def packed_layout(schema: Schema) -> PackedLayout:
+    fields = []
+    slot = 0
+    for f in schema.fields:
+        n = 2 if f.dtype.kind in (Kind.INT64, Kind.FLOAT64, Kind.DECIMAL) else 1
+        fields.append((f.name, f.dtype.kind, slot, n))
+        slot += n
+    valid_base = slot
+    width = slot + (len(schema.fields) + 31) // 32
+    return PackedLayout(tuple(fields), valid_base, width)
+
+
+def pack_table(t: DeviceTable) -> Tuple[jnp.ndarray, PackedLayout]:
+    """-> ([cap, W] int32 packed rows, layout)."""
+    layout = packed_layout(t.schema)
+    cap = t.capacity
+    cols = []
+    for name, kind, _, n in layout.fields:
+        v, _ = t.columns[name]
+        if kind in (Kind.INT64, Kind.FLOAT64, Kind.DECIMAL):
+            v64 = v.view(jnp.int64) if kind is Kind.FLOAT64 else v
+            lo = jnp.bitwise_and(v64, jnp.int64(0xFFFFFFFF)) \
+                    .astype(jnp.uint32).view(jnp.int32)
+            hi = (v64 >> jnp.int64(32)).astype(jnp.int32)
+            cols += [lo, hi]
+        elif kind is Kind.FLOAT32:
+            cols.append(v.view(jnp.int32))
+        elif kind is Kind.BOOL:
+            cols.append(v.astype(jnp.int32))
+        else:
+            cols.append(v.astype(jnp.int32))
+    n_fields = len(layout.fields)
+    for w in range((n_fields + 31) // 32):
+        word = jnp.zeros((cap,), jnp.uint32)
+        for j in range(w * 32, min((w + 1) * 32, n_fields)):
+            _, valid = t.columns[layout.fields[j][0]]
+            word = word | (valid.astype(jnp.uint32) << jnp.uint32(j - w * 32))
+        cols.append(word.view(jnp.int32))
+    return jnp.stack(cols, axis=1), layout
+
+
+def unpack_table(packed: jnp.ndarray, layout: PackedLayout, schema: Schema,
+                 num_rows, row_valid: Optional[jnp.ndarray] = None
+                 ) -> DeviceTable:
+    """Inverse of pack_table over (possibly gathered) packed rows."""
+    cols = {}
+    for j, (name, kind, slot, n) in enumerate(layout.fields):
+        if n == 2:
+            lo = packed[:, slot].view(jnp.uint32).astype(jnp.int64)
+            hi = packed[:, slot + 1].astype(jnp.int64)
+            v64 = (hi << jnp.int64(32)) | lo
+            v = v64.view(jnp.float64) if kind is Kind.FLOAT64 else v64
+        elif kind is Kind.FLOAT32:
+            v = packed[:, slot].view(jnp.float32)
+        elif kind is Kind.BOOL:
+            v = packed[:, slot].astype(jnp.bool_)
+        else:
+            v = packed[:, slot]
+        word = packed[:, layout.valid_base + j // 32].view(jnp.uint32)
+        valid = ((word >> jnp.uint32(j % 32)) & jnp.uint32(1)).astype(jnp.bool_)
+        if row_valid is not None:
+            valid = valid & row_valid
+        cols[name] = (v, valid)
+    return DeviceTable(schema, cols, jnp.asarray(num_rows, jnp.int32))
+
+
 def hstack_tables(a: DeviceTable, b: DeviceTable, num_rows) -> DeviceTable:
     """Combine columns of two same-capacity tables (e.g. join pair output)."""
     assert a.capacity == b.capacity, (a.capacity, b.capacity)
