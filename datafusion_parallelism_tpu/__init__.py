@@ -18,11 +18,25 @@ Reference parity map (see SURVEY.md):
   - work-stealing repartition                -> parallel/skew.py (salted repartition)
 """
 
+import os as _os
+
 import jax
 
 # Explicit 64-bit support: TPC-H keys/decimal-cents columns are int64. All hot
 # kernels use explicit 32-bit dtypes; this only widens what is representable.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: query plans recompile identically across
+# runs (tests, CLI iterations); disable with DFP_NO_COMPILE_CACHE=1.
+if not _os.environ.get("DFP_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "DFP_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "dfp_xla_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 from .api import SessionContext, SessionConfig, JoinStrategy  # noqa: E402,F401
 from .utils.columnar import DeviceTable, HostTable, Schema, Field, DType  # noqa: E402,F401

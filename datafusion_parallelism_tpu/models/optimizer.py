@@ -1,0 +1,121 @@
+"""Physical-plan optimizer rules.
+
+Analog of reference L4 (src/operator/use_parallel_hash_join_rule.rs appends
+rules to DataFusion's default set, parse_sql.rs:37-54). The planner already
+performs join ordering and build-side selection inline; this module holds the
+plan-to-plan rewrite rules that run afterwards:
+
+  * `PruneColumnsRule` — column pruning above scans and through joins: the
+    reference leans on DataFusion's projection pushdown and re-wraps joins in
+    ProjectionExec (use_parallel_hash_join_rule.rs:108-131). Here width
+    matters doubly: the join's packed row-gathers move whole rows, so every
+    dead column costs HBM bandwidth in the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Set
+
+from ..ops.expressions import Col, Expr
+from ..utils.columnar import Schema
+from .physical import (PAggregate, PFilter, PHashJoin, PLimit, PProject,
+                       PScan, PSort, PhysicalPlan)
+
+
+def expr_columns(e: Expr, out: Set[str]) -> None:
+    """Collect all Col names referenced by an expression tree."""
+    if isinstance(e, Col):
+        out.add(e.name)
+        return
+    if dataclasses.is_dataclass(e):
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            _walk_value(v, out)
+
+
+def _walk_value(v, out: Set[str]) -> None:
+    if isinstance(v, Expr):
+        expr_columns(v, out)
+    elif isinstance(v, (list, tuple)):
+        for item in v:
+            _walk_value(item, out)
+
+
+class PruneColumnsRule:
+    """Narrow every subtree to the columns its consumers actually read."""
+
+    def optimize(self, plan: PhysicalPlan) -> PhysicalPlan:
+        return self._prune(plan, set(plan.schema.names))
+
+    def _project_to(self, node: PhysicalPlan, required: Set[str]) -> PhysicalPlan:
+        names = [n for n in node.schema.names if n in required]
+        if len(names) == len(node.schema.names):
+            return node
+        fields = [node.schema.field(n) for n in names]
+        return PProject(node, [(Col(n), n) for n in names], fields)
+
+    def _prune(self, node: PhysicalPlan, required: Set[str]) -> PhysicalPlan:
+        required = required & set(node.schema.names)
+        if not required:  # consumer only counts rows: keep one column
+            required = {node.schema.names[0]}
+
+        if isinstance(node, PScan):
+            return self._project_to(node, required)
+
+        if isinstance(node, PProject):
+            kept = [(e, n) for (e, n), f in zip(node.exprs, node.out_fields)
+                    if n in required]
+            kept_fields = [f for f in node.out_fields if f.name in required]
+            if not kept:  # degenerate; keep everything
+                kept, kept_fields = node.exprs, node.out_fields
+            child_req: Set[str] = set()
+            for e, _ in kept:
+                expr_columns(e, child_req)
+            child = self._prune(node.child, child_req)
+            return PProject(child, kept, kept_fields)
+
+        if isinstance(node, PFilter):
+            child_req = set(required)
+            expr_columns(node.predicate, child_req)
+            child = self._prune(node.child, child_req)
+            out = PFilter(child, node.predicate)
+            return self._project_to(out, required)
+
+        if isinstance(node, PHashJoin):
+            res_cols: Set[str] = set()
+            if node.residual is not None:
+                expr_columns(node.residual, res_cols)
+            breq = ((required | res_cols) & set(node.build.schema.names)) \
+                | set(node.build_keys)
+            preq = ((required | res_cols) & set(node.probe.schema.names)) \
+                | set(node.probe_keys)
+            build = self._prune(node.build, breq)
+            probe = self._prune(node.probe, preq)
+            out = PHashJoin(build, probe, node.build_keys, node.probe_keys,
+                            node.join_type, node.strategy, node.residual)
+            out.join_id = node.join_id  # executor capacities key on this
+            out.__post_init__()
+            return self._project_to(out, required)
+
+        if isinstance(node, PAggregate):
+            child_req = set(node.group_keys)
+            for a in node.aggs:
+                if a.input:
+                    child_req.add(a.input)
+            child = self._prune(node.child, child_req)
+            return PAggregate(child, node.group_keys, node.aggs)
+
+        if isinstance(node, PSort):
+            child_req = required | {k.column for k in node.keys}
+            child = self._prune(node.child, child_req)
+            return PSort(child, node.keys)
+
+        if isinstance(node, PLimit):
+            return PLimit(self._prune(node.child, required), node.n)
+
+        return node
+
+
+def optimize_plan(plan: PhysicalPlan) -> PhysicalPlan:
+    return PruneColumnsRule().optimize(plan)

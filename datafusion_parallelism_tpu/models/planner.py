@@ -339,6 +339,8 @@ class Planner:
     def plan(self, stmt: SelectStmt, outer: Optional[Scope] = None) -> "PlannedQuery":
         plan, scope = self._plan_from_where(stmt, outer)
         plan = self._plan_select(stmt, plan, scope)
+        from .optimizer import optimize_plan
+        plan = optimize_plan(plan)
         return PlannedQuery(plan, self.scalar_subqueries)
 
     # -- FROM + WHERE ----------------------------------------------------------
