@@ -106,13 +106,12 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
 
     # ONE packed row-gather per side fetches every column + validity of each
     # candidate pair (gathers cost per index, not per byte — see pack_table)
-    bpacked, blayout = pack_table(build)
-    ppacked, playout = pack_table(probe)
-    gb = jnp.take(bpacked, cands.build_idx, axis=0, mode="clip")
-    gp = jnp.take(ppacked, cands.probe_idx, axis=0, mode="clip")
-    cand_in = jnp.ones((out_cap,), jnp.bool_)
-    gbt = unpack_table(gb, blayout, build.schema, out_cap, cand_in)
-    gpt = unpack_table(gp, playout, probe.schema, out_cap, cand_in)
+    bpacked = pack_table(build)
+    ppacked = pack_table(probe)
+    gb = bpacked.take_rows(cands.build_idx)
+    gp = ppacked.take_rows(cands.probe_idx)
+    gbt = unpack_table(gb, build.schema, out_cap)
+    gpt = unpack_table(gp, probe.schema, out_cap)
 
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
     eq = cands.valid
@@ -143,10 +142,8 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     def pairs_table() -> DeviceTable:
         gidx, n = compaction_indices(match)
         ok = jnp.arange(out_cap, dtype=jnp.int32) < n
-        fb = jnp.take(gb, gidx, axis=0)
-        fp = jnp.take(gp, gidx, axis=0)
-        bt = unpack_table(fb, blayout, build.schema, n, ok)
-        pt = unpack_table(fp, playout, probe.schema, n, ok)
+        bt = unpack_table(gb.take_rows(gidx), build.schema, n, ok)
+        pt = unpack_table(gp.take_rows(gidx), probe.schema, n, ok)
         return hstack_tables(bt, pt, n)
 
     def unmatched_build() -> DeviceTable:

@@ -122,3 +122,36 @@ class QueryHandle:
 
     def explain(self) -> str:
         return self.plan.tree()
+
+    def analyze(self) -> str:
+        """EXPLAIN ANALYZE: per-operator output rows + wall time, measured by
+        jit-executing each subtree (the per-op MetricsSet the reference never
+        implemented — SURVEY.md §5.5). Subtree timings include their inputs;
+        read them as cumulative, like postgres EXPLAIN ANALYZE."""
+        self.run()  # settle capacities / fill scalar subqueries
+        tables = self._leaf_tables()
+        lines = []
+
+        def visit(node, depth):
+            caps = dict(self._caps)
+
+            def fn(tables, _caps=caps):
+                ctx = ExecContext(_caps)
+                out = node.execute(tables, ctx)
+                return out.num_rows, out
+
+            compiled = jax.jit(fn).lower(tables).compile()
+            n, _ = compiled(tables)
+            jax.block_until_ready(n)
+            t0 = time.time()
+            n, _ = compiled(tables)
+            jax.block_until_ready(n)
+            dt = time.time() - t0
+            lines.append("  " * depth
+                         + f"{node.describe()}  [rows={int(n)} "
+                         f"cumulative={dt * 1e3:.2f}ms]")
+            for c in node.children():
+                visit(c, depth + 1)
+
+        visit(self.plan, 0)
+        return "\n".join(lines)

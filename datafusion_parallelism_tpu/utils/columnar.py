@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, replace
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -438,40 +438,61 @@ def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndar
 @dataclass(frozen=True)
 class PackedLayout:
     fields: Tuple[Tuple[str, Kind, int, int], ...]  # (name, kind, slot, nslots)
+    f64_fields: Tuple[str, ...]  # carried unpacked: f64<->i64 bitcasts are
+                                 # unsupported under the TPU X64 rewrite
     valid_base: int
     width: int
 
 
+class PackedTable(NamedTuple):
+    packed: jnp.ndarray                       # [cap, W] int32
+    f64s: Dict[str, jnp.ndarray]              # name -> float64[cap]
+    layout: PackedLayout
+
+    def take_rows(self, indices: jnp.ndarray) -> "PackedTable":
+        """Gather rows: one row-gather + one per float64 column."""
+        return PackedTable(
+            jnp.take(self.packed, indices, axis=0, mode="clip"),
+            {n: jnp.take(v, indices, mode="clip") for n, v in self.f64s.items()},
+            self.layout)
+
+
 def packed_layout(schema: Schema) -> PackedLayout:
     fields = []
+    f64s = []
     slot = 0
     for f in schema.fields:
-        n = 2 if f.dtype.kind in (Kind.INT64, Kind.FLOAT64, Kind.DECIMAL) else 1
+        if f.dtype.kind is Kind.FLOAT64:
+            f64s.append(f.name)
+            fields.append((f.name, f.dtype.kind, -1, 0))
+            continue
+        n = 2 if f.dtype.kind in (Kind.INT64, Kind.DECIMAL) else 1
         fields.append((f.name, f.dtype.kind, slot, n))
         slot += n
     valid_base = slot
     width = slot + (len(schema.fields) + 31) // 32
-    return PackedLayout(tuple(fields), valid_base, width)
+    return PackedLayout(tuple(fields), tuple(f64s), valid_base, width)
 
 
-def pack_table(t: DeviceTable) -> Tuple[jnp.ndarray, PackedLayout]:
-    """-> ([cap, W] int32 packed rows, layout)."""
+def pack_table(t: DeviceTable) -> PackedTable:
+    """All columns + validity bitmask in one [cap, W] int32 matrix (float64
+    columns ride alongside)."""
     layout = packed_layout(t.schema)
     cap = t.capacity
     cols = []
+    f64s = {}
     for name, kind, _, n in layout.fields:
         v, _ = t.columns[name]
-        if kind in (Kind.INT64, Kind.FLOAT64, Kind.DECIMAL):
-            v64 = v.view(jnp.int64) if kind is Kind.FLOAT64 else v
-            lo = jnp.bitwise_and(v64, jnp.int64(0xFFFFFFFF)) \
+        if kind is Kind.FLOAT64:
+            f64s[name] = v
+        elif kind in (Kind.INT64, Kind.DECIMAL):
+            lo = jnp.bitwise_and(v, jnp.int64(0xFFFFFFFF)) \
                     .astype(jnp.uint32).view(jnp.int32)
-            hi = (v64 >> jnp.int64(32)).astype(jnp.int32)
+            hi = (v >> jnp.int64(32)).astype(jnp.int32)
             cols += [lo, hi]
         elif kind is Kind.FLOAT32:
             cols.append(v.view(jnp.int32))
-        elif kind is Kind.BOOL:
-            cols.append(v.astype(jnp.int32))
-        else:
+        else:  # int32/date32/string codes/bool
             cols.append(v.astype(jnp.int32))
     n_fields = len(layout.fields)
     for w in range((n_fields + 31) // 32):
@@ -480,20 +501,21 @@ def pack_table(t: DeviceTable) -> Tuple[jnp.ndarray, PackedLayout]:
             _, valid = t.columns[layout.fields[j][0]]
             word = word | (valid.astype(jnp.uint32) << jnp.uint32(j - w * 32))
         cols.append(word.view(jnp.int32))
-    return jnp.stack(cols, axis=1), layout
+    return PackedTable(jnp.stack(cols, axis=1), f64s, layout)
 
 
-def unpack_table(packed: jnp.ndarray, layout: PackedLayout, schema: Schema,
-                 num_rows, row_valid: Optional[jnp.ndarray] = None
-                 ) -> DeviceTable:
+def unpack_table(pt: PackedTable, schema: Schema, num_rows,
+                 row_valid: Optional[jnp.ndarray] = None) -> DeviceTable:
     """Inverse of pack_table over (possibly gathered) packed rows."""
+    packed, layout = pt.packed, pt.layout
     cols = {}
     for j, (name, kind, slot, n) in enumerate(layout.fields):
-        if n == 2:
+        if kind is Kind.FLOAT64:
+            v = pt.f64s[name]
+        elif n == 2:
             lo = packed[:, slot].view(jnp.uint32).astype(jnp.int64)
             hi = packed[:, slot + 1].astype(jnp.int64)
-            v64 = (hi << jnp.int64(32)) | lo
-            v = v64.view(jnp.float64) if kind is Kind.FLOAT64 else v64
+            v = (hi << jnp.int64(32)) | lo
         elif kind is Kind.FLOAT32:
             v = packed[:, slot].view(jnp.float32)
         elif kind is Kind.BOOL:
