@@ -22,10 +22,18 @@ from .utils.columnar import HostTable
 class SessionConfig:
     def __init__(self, target_partitions: int = 1,
                  join_strategy: JoinStrategy = JoinStrategy.CSR,
-                 replacement_required: bool = True):
+                 replacement_required: bool = True,
+                 broadcast_threshold: int = 4096,
+                 skew_salting: bool = False,
+                 skew_factor: float = 8.0):
         self.target_partitions = target_partitions
         self.join_strategy = join_strategy
         self.replacement_required = replacement_required
+        # distributed-mode knobs (the reference's broadcast-join threshold +
+        # the salted replacement for work stealing)
+        self.broadcast_threshold = broadcast_threshold
+        self.skew_salting = skew_salting
+        self.skew_factor = skew_factor
 
 
 class SessionContext:

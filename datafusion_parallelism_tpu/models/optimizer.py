@@ -93,7 +93,8 @@ class PruneColumnsRule:
             build = self._prune(node.build, breq)
             probe = self._prune(node.probe, preq)
             out = PHashJoin(build, probe, node.build_keys, node.probe_keys,
-                            node.join_type, node.strategy, node.residual)
+                            node.join_type, node.strategy, node.residual,
+                            node.dist_mode)
             out.join_id = node.join_id  # executor capacities key on this
             out.__post_init__()
             return self._project_to(out, required)
@@ -117,5 +118,39 @@ class PruneColumnsRule:
         return node
 
 
-def optimize_plan(plan: PhysicalPlan) -> PhysicalPlan:
-    return PruneColumnsRule().optimize(plan)
+class ChooseDistModeRule:
+    """Pick each join's distributed execution mode from statistics — the
+    analog of the reference's broadcast-join threshold (its benchmark sizes
+    tables 'above the maximum threshold for broadcast joins',
+    benches/my_benchmark.rs:159) plus the salted-skew substitute for work
+    stealing. Probe-driven join types only (INNER/RIGHT/RIGHT_SEMI/
+    RIGHT_ANTI): replicated build rows would double-count LEFT*/FULL
+    unmatched output."""
+
+    PROBE_DRIVEN = ("inner", "right", "right_semi", "right_anti")
+
+    def __init__(self, catalog, config):
+        self.catalog = catalog
+        self.config = config
+
+    def optimize(self, plan: PhysicalPlan) -> PhysicalPlan:
+        from .planner import _estimate_rows
+        for node in plan.walk():
+            if not isinstance(node, PHashJoin):
+                continue
+            if node.join_type.value not in self.PROBE_DRIVEN:
+                node.dist_mode = "partitioned"
+                continue
+            best = _estimate_rows(node.build, self.catalog)
+            if best <= getattr(self.config, "broadcast_threshold", 0):
+                node.dist_mode = "broadcast"
+            elif getattr(self.config, "skew_salting", False):
+                node.dist_mode = "skew_salted"
+        return plan
+
+
+def optimize_plan(plan: PhysicalPlan, catalog=None, config=None) -> PhysicalPlan:
+    plan = PruneColumnsRule().optimize(plan)
+    if catalog is not None and config is not None:
+        plan = ChooseDistModeRule(catalog, config).optimize(plan)
+    return plan

@@ -128,6 +128,9 @@ class PHashJoin(PhysicalPlan):
     join_type: JoinType
     strategy: JoinStrategy = JoinStrategy.CSR
     residual: Optional[Expr] = None
+    # distributed execution mode: partitioned | broadcast | skew_salted
+    # (set by the optimizer from statistics; single-chip execution ignores it)
+    dist_mode: str = "partitioned"
     join_id: int = field(default_factory=lambda: _JOIN_ID.__setitem__(0, _JOIN_ID[0] + 1) or _JOIN_ID[0])
     schema: Schema = None
 

@@ -63,9 +63,26 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
     if isinstance(node, PHashJoin):
         b = execute_dist(node.build, tables, ctx, axis)
         p = execute_dist(node.probe, tables, ctx, axis)
-        # safe send capacity: a shard cannot send more rows than it holds
-        b2, _ = shuffle_by_hash(b, node.build_keys, b.capacity, axis)
-        p2, _ = shuffle_by_hash(p, node.probe_keys, p.capacity, axis)
+        # send capacities are safe by construction: a shard never sends more
+        # rows than it holds (even fully-replicated salted build rows)
+        if node.dist_mode == "broadcast":
+            b2, p2 = _all_gather_table(b, axis), p
+        elif node.dist_mode == "skew_salted":
+            from ..parallel.shuffle import replicating_shuffle
+            from ..parallel.skew import (build_replication_mask,
+                                         heavy_buckets, key_histogram,
+                                         salted_route)
+            hist = key_histogram(p, node.probe_keys, axis)
+            heavy = heavy_buckets(hist)
+            rep = build_replication_mask(b, node.build_keys, heavy)
+            b2, _ = replicating_shuffle(b, node.build_keys, b.capacity, rep,
+                                        axis)
+            dest, _ = salted_route(p, node.probe_keys, heavy, axis)
+            p2, _ = shuffle_by_hash(p, node.probe_keys, p.capacity, axis,
+                                    dest_override=dest)
+        else:
+            b2, _ = shuffle_by_hash(b, node.build_keys, b.capacity, axis)
+            p2, _ = shuffle_by_hash(p, node.probe_keys, p.capacity, axis)
         cap = ctx.join_caps.get(node.join_id)
         if cap is None:
             cap = max(256, 2 * max(b2.capacity, p2.capacity))

@@ -53,3 +53,31 @@ def test_distributed_matches_single(q):
     single = _make_ctx(1).sql(QUERIES[q]).collect().to_pylist()
     dist = _make_ctx(N_DEV).sql(QUERIES[q]).collect().to_pylist()
     assert_rows_equal(dist, single)
+
+
+def test_distributed_broadcast_mode_picked():
+    ctx = _make_ctx(N_DEV)  # custs is tiny -> under broadcast_threshold
+    h = ctx.sql(QUERIES[0])
+    from datafusion_parallelism_tpu.models.physical import PHashJoin
+    modes = [n.dist_mode for n in h.plan.walk() if isinstance(n, PHashJoin)]
+    assert "broadcast" in modes
+
+
+def test_distributed_skew_salted_sql():
+    """Skewed probe keys through the SQL surface with salting enabled."""
+    rng = np.random.default_rng(11)
+    n = 600
+    x = rng.random(n)
+    skewed = ((30 * (16.0 ** x - 1) / 15.0)).astype(int).tolist()
+    for salting in (False, True):
+        cfg = SessionConfig(target_partitions=N_DEV, skew_salting=salting,
+                            broadcast_threshold=0)
+        ctx = dfp.SessionContext(cfg)
+        ctx.register_pydict("probe", {"k": skewed, "v": list(range(n))})
+        ctx.register_pydict("build", {"k2": list(range(32)),
+                                      "w": [i * 10 for i in range(32)]})
+        got = ctx.sql("SELECT SUM(b.w * p.v) AS s, COUNT(*) AS n FROM build b "
+                      "JOIN probe p ON b.k2 = p.k").collect().to_pylist()
+        expect = sum(k2 * 10 * v for v, k2 in enumerate(skewed) if k2 < 32)
+        assert got[0]["n"] == sum(1 for k in skewed if k < 32)
+        assert got[0]["s"] == expect
