@@ -24,7 +24,9 @@ def make_exponential_int_array(rng, n: int, max_value: int) -> np.ndarray:
 
 
 def timeit_block(fn, warmup: int = 2, iters: int = 10):
-    """-> (best_s, mean_s). fn must block until the work is done."""
+    """-> (best_s, mean_s). fn must SYNCHRONIZE by fetching a value to host
+    (float()/int()/np.asarray) — on relay-backed devices block_until_ready
+    can return before compute finishes."""
     for _ in range(warmup):
         fn()
     times = []

@@ -39,7 +39,7 @@ def main():
         table = build_join_table(h, valid, n, strat)
         return table.perm[0] + table.offsets[0]
 
-    best, mean = timeit_block(lambda: jax.block_until_ready(build(keys)))
+    best, mean = timeit_block(lambda: int(build(keys)))
     report(f"build_speed/{args.strategy}/Size512", n, best, mean)
 
 

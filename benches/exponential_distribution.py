@@ -75,9 +75,9 @@ def main():
         v, valid = out.column("b_val")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0.0)), total
 
-    s, total = jax.block_until_ready(step(bt, pt))
+    s, total = step(bt, pt)
     assert int(total) <= out_cap, f"grow out_cap: {int(total)}"
-    best, mean = timeit_block(lambda: jax.block_until_ready(step(bt, pt)))
+    best, mean = timeit_block(lambda: float(step(bt, pt)[0]))
     report(f"exp_dist/{args.scenario}/single", n_build + n_probe, best, mean,
            {"matches": int(total)})
 

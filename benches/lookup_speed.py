@@ -49,9 +49,9 @@ def main():
     def probe(table, pkeys):
         ph = hash_rows([(pkeys, valid)])
         c = probe_candidates(table, ph, valid, n, out_cap)
-        return c.total, jnp.sum(jnp.where(c.valid, c.build_idx, 0))
+        return c.total + jnp.sum(jnp.where(c.valid, c.build_idx, 0))
 
-    best, mean = timeit_block(lambda: jax.block_until_ready(probe(table, pkeys)))
+    best, mean = timeit_block(lambda: int(probe(table, pkeys)))
     report(f"lookup_speed/{args.strategy}/Size512", n, best, mean)
 
 

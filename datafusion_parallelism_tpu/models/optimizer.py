@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Set
 
-from ..ops.expressions import Col, Expr
+from ..ops.expressions import BinOp, Col, Expr
 from ..utils.columnar import Schema
 from .physical import (PAggregate, PFilter, PHashJoin, PLimit, PProject,
                        PScan, PSort, PhysicalPlan)
@@ -80,6 +80,7 @@ class PruneColumnsRule:
             expr_columns(node.predicate, child_req)
             child = self._prune(node.child, child_req)
             out = PFilter(child, node.predicate)
+            out.node_id = node.node_id  # executor capacities key on this
             return self._project_to(out, required)
 
         if isinstance(node, PHashJoin):
@@ -105,7 +106,9 @@ class PruneColumnsRule:
                 if a.input:
                     child_req.add(a.input)
             child = self._prune(node.child, child_req)
-            return PAggregate(child, node.group_keys, node.aggs)
+            out = PAggregate(child, node.group_keys, node.aggs)
+            out.node_id = node.node_id
+            return out
 
         if isinstance(node, PSort):
             child_req = required | {k.column for k in node.keys}
@@ -115,6 +118,36 @@ class PruneColumnsRule:
         if isinstance(node, PLimit):
             return PLimit(self._prune(node.child, required), node.n)
 
+        return node
+
+
+class CoalesceFiltersRule:
+    """Merge chains of PFilter into one AND predicate: each filter pays a
+    full row compaction (pack + row-gather), so N stacked single-column
+    predicates cost N compactions where one suffices."""
+
+    def optimize(self, plan: PhysicalPlan) -> PhysicalPlan:
+        return self._rewrite(plan)
+
+    def _rewrite(self, node: PhysicalPlan) -> PhysicalPlan:
+        if isinstance(node, PFilter):
+            preds = [node.predicate]
+            child = node.child
+            while isinstance(child, PFilter):
+                preds.append(child.predicate)
+                child = child.child
+            child = self._rewrite(child)
+            combined = preds[0]
+            for p in preds[1:]:
+                combined = BinOp("and", combined, p)
+            out = PFilter(child, combined)
+            out.node_id = node.node_id
+            return out
+        for attr in ("child", "build", "probe"):
+            if hasattr(node, attr):
+                setattr(node, attr, self._rewrite(getattr(node, attr)))
+        if hasattr(node, "__post_init__"):
+            node.__post_init__()
         return node
 
 
@@ -150,6 +183,7 @@ class ChooseDistModeRule:
 
 
 def optimize_plan(plan: PhysicalPlan, catalog=None, config=None) -> PhysicalPlan:
+    plan = CoalesceFiltersRule().optimize(plan)
     plan = PruneColumnsRule().optimize(plan)
     if catalog is not None and config is not None:
         plan = ChooseDistModeRule(catalog, config).optimize(plan)

@@ -17,7 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.aggregate import AggSpec, agg_output_schema, hash_aggregate
+from ..ops.aggregate import (AggSpec, agg_output_schema, hash_aggregate,
+                             hash_aggregate_counted)
 from ..ops.expressions import Expr
 from ..ops.filter import filter_table
 from ..ops.hash_table import JoinStrategy
@@ -78,6 +79,7 @@ class PScan(PhysicalPlan):
 class PFilter(PhysicalPlan):
     child: PhysicalPlan
     predicate: Expr
+    node_id: int = field(default_factory=lambda: _next_node_id())
     schema: Schema = None
 
     def __post_init__(self):
@@ -90,7 +92,17 @@ class PFilter(PhysicalPlan):
         return f"Filter({self.predicate})"
 
     def execute(self, tables, ctx):
-        return filter_table(self.child.execute(tables, ctx), self.predicate)
+        child = self.child.execute(tables, ctx)
+        # adaptive output capacity: assume selectivity <= 1/4, grow on
+        # overflow (executor retry) — selective filters shrink every
+        # downstream operator's static working set
+        cap = ctx.join_caps.get(self.node_id)
+        if cap is None:
+            cap = min(child.capacity, max(1024, child.capacity // 4))
+            ctx.join_caps[self.node_id] = cap
+        out, total = filter_table(child, self.predicate, cap)
+        ctx.join_totals[self.node_id] = total
+        return out
 
 
 @dataclass
@@ -115,6 +127,11 @@ class PProject(PhysicalPlan):
 
 
 _JOIN_ID = [0]
+
+
+def _next_node_id() -> int:
+    _JOIN_ID[0] += 1
+    return _JOIN_ID[0]
 
 
 @dataclass
@@ -169,6 +186,7 @@ class PAggregate(PhysicalPlan):
     child: PhysicalPlan
     group_keys: List[str]
     aggs: List[AggSpec]
+    node_id: int = field(default_factory=lambda: _next_node_id())
     schema: Schema = None
 
     def __post_init__(self):
@@ -183,8 +201,15 @@ class PAggregate(PhysicalPlan):
         return f"Aggregate(group={self.group_keys}, aggs=[{a}])"
 
     def execute(self, tables, ctx):
-        return hash_aggregate(self.child.execute(tables, ctx),
-                              self.group_keys, self.aggs)
+        child = self.child.execute(tables, ctx)
+        cap = ctx.join_caps.get(self.node_id)
+        if cap is None:
+            cap = min(child.capacity, max(1024, child.capacity // 4))
+            ctx.join_caps[self.node_id] = cap
+        out, total = hash_aggregate_counted(child, self.group_keys, self.aggs,
+                                            cap)
+        ctx.join_totals[self.node_id] = total
+        return out
 
 
 @dataclass
@@ -227,3 +252,14 @@ class PLimit(PhysicalPlan):
 
 def find_joins(plan: PhysicalPlan) -> List[PHashJoin]:
     return [n for n in plan.walk() if isinstance(n, PHashJoin)]
+
+
+def find_adaptive(plan: PhysicalPlan) -> List[Tuple[int, PhysicalPlan]]:
+    """(capacity key, node) for every node with an adaptive output capacity."""
+    out = []
+    for n in plan.walk():
+        if isinstance(n, PHashJoin):
+            out.append((n.join_id, n))
+        elif isinstance(n, (PFilter, PAggregate)):
+            out.append((n.node_id, n))
+    return out

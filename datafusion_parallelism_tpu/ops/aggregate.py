@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, DType, Field, Kind, Schema,
-                              FLOAT64, INT64, gather_table)
+                              FLOAT64, INT64, compaction_indices, gather_table)
 from .hashing import hash_rows
 
 
@@ -53,14 +53,27 @@ def agg_output_schema(t_schema: Schema, group_keys: List[str],
 
 
 def hash_aggregate(t: DeviceTable, group_keys: List[str],
-                   aggs: List[AggSpec]) -> DeviceTable:
-    """Group + aggregate; output capacity == input capacity (worst case all
-    rows distinct). Fully jit-traceable."""
+                   aggs: List[AggSpec],
+                   out_cap: Optional[int] = None) -> DeviceTable:
+    """Group + aggregate; output capacity defaults to the input capacity
+    (worst case all rows distinct) — `out_cap` shrinks it adaptively (the
+    caller checks returned num_rows for overflow). Fully jit-traceable."""
+    result = hash_aggregate_counted(t, group_keys, aggs, out_cap)
+    return result[0]
+
+
+def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
+                           aggs: List[AggSpec],
+                           out_cap: Optional[int] = None):
+    """-> (table, true group count) — count may exceed the output capacity."""
     cap = t.capacity
     out_schema = agg_output_schema(t.schema, group_keys, aggs)
 
     if not group_keys:
-        return _global_aggregate(t, aggs, out_schema)
+        g = _global_aggregate(t, aggs, out_schema)
+        return g, g.num_rows
+    if out_cap is None or out_cap > cap:
+        out_cap = cap
 
     in_row = t.row_mask()
     h = hash_rows([t.column(k) for k in group_keys])
@@ -69,15 +82,20 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
     perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
     sorted_in_row = jnp.take(in_row, perm)
 
+    # materialize the table in sorted order with ONE packed row-gather; all
+    # per-column reads below are then elementwise/shift ops, not gathers
+    st = gather_table(t, perm, t.num_rows)
+
+    def shift1(a):  # a[i-1] with a[-1] := a[0]
+        return jnp.concatenate([a[:1], a[:-1]])
+
     # group boundary: first row, or any group-key column differs from previous
-    prev = jnp.concatenate([perm[:1], perm[:-1]])  # prev row id in sorted order
     boundary = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
     hs = jnp.take(h, perm)
-    boundary = boundary | (hs != jnp.concatenate([hs[:1], hs[:-1]]))
+    boundary = boundary | (hs != shift1(hs))
     for k in group_keys:
-        v, valid = t.column(k)
-        cv, cvalid = jnp.take(v, perm), jnp.take(valid, perm)
-        pv, pvalid = jnp.take(v, prev), jnp.take(valid, prev)
+        cv, cvalid = st.column(k)
+        pv, pvalid = shift1(cv), shift1(cvalid)
         same = (cvalid & pvalid & (cv == pv)) | (~cvalid & ~pvalid)
         boundary = boundary | ~same
     boundary = boundary & sorted_in_row
@@ -90,24 +108,36 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
     n_groups = jnp.sum(boundary, dtype=jnp.int32)
 
     cols = {}
-    # group key values: the first sorted row of each segment
-    bpos = jnp.argsort(~boundary, stable=True).astype(jnp.int32)  # boundary rows first
-    rep_rows = jnp.take(perm, bpos)  # representative original row per group
-    ok = jnp.arange(cap, dtype=jnp.int32) < n_groups
-    rep = gather_table(t, rep_rows, n_groups, ok)
+    kept = jnp.minimum(n_groups, out_cap)
+    # group key values: the first sorted row of each segment (one row-gather)
+    bpos, _ = compaction_indices(boundary)
+    ok = jnp.arange(out_cap, dtype=jnp.int32) < kept
+    rep = gather_table(st, bpos[:out_cap], kept, ok)
     for k in group_keys:
         cols[k] = rep.columns[k]
+
+    # segments are SORTED (rows grouped contiguously), so SUM-family
+    # reductions are a prefix sum + two boundary gathers at out_cap — far
+    # cheaper than a scatter-add over the full capacity (segment_sum)
+    starts = bpos[:out_cap]
+    g = jnp.arange(out_cap, dtype=jnp.int32)
+    ends = jnp.where(g + 1 < kept, jnp.take(bpos, g + 1, mode="clip") - 1,
+                     jnp.maximum(t.num_rows - 1, 0))
+
+    def seg_sum_sorted(data):
+        p = jnp.cumsum(data)
+        hi = jnp.take(p, ends, mode="clip")
+        lo = jnp.where(starts > 0, jnp.take(p, starts - 1, mode="clip"), 0)
+        return hi - lo
 
     ones = sorted_in_row.astype(jnp.int64)
     for a in aggs:
         if a.func == "count_star":
-            v = jax.ops.segment_sum(ones, seg, num_segments=cap)
-            cols[a.output] = (v, ok)
+            cols[a.output] = (seg_sum_sorted(ones), ok)
             continue
-        dv, dvalid = t.column(a.input)
-        sv = jnp.take(dv, perm)
-        svalid = jnp.take(dvalid, perm) & sorted_in_row
-        cnt = jax.ops.segment_sum(svalid.astype(jnp.int64), seg, num_segments=cap)
+        sv, svalid = st.column(a.input)
+        svalid = svalid & sorted_in_row
+        cnt = seg_sum_sorted(svalid.astype(jnp.int64))
         if a.func == "count":
             cols[a.output] = (cnt, ok)
             continue
@@ -117,7 +147,7 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
             if sv.dtype in (jnp.float32, jnp.float64):
                 acc_dtype = jnp.float64
             data = jnp.where(svalid, sv, 0).astype(acc_dtype)
-            s = jax.ops.segment_sum(data, seg, num_segments=cap)
+            s = seg_sum_sorted(data)
             if a.func == "avg":
                 c = jnp.maximum(cnt, 1)
                 v = s.astype(jnp.float64) / c
@@ -130,15 +160,15 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
             if a.func == "min":
                 fill = _dtype_max(sv.dtype)
                 data = jnp.where(svalid, sv, fill)
-                v = jax.ops.segment_min(data, seg, num_segments=cap)
+                v = jax.ops.segment_min(data, seg, num_segments=cap)[:out_cap]
             else:
                 fill = _dtype_min(sv.dtype)
                 data = jnp.where(svalid, sv, fill)
-                v = jax.ops.segment_max(data, seg, num_segments=cap)
+                v = jax.ops.segment_max(data, seg, num_segments=cap)[:out_cap]
             cols[a.output] = (v.astype(out_dt.device_dtype), ok & (cnt > 0))
         else:
             raise ValueError(a.func)
-    return DeviceTable(out_schema, cols, n_groups)
+    return DeviceTable(out_schema, cols, kept), n_groups
 
 
 def decompose_for_partial(aggs: List[AggSpec]):

@@ -1,13 +1,32 @@
-"""Filter operator: predicate -> compaction (NULL predicate rejects, SQL WHERE)."""
+"""Filter operator: predicate -> compaction (NULL predicate rejects, SQL WHERE).
+
+With `out_cap`, the surviving rows compact into a SMALLER static capacity —
+the engine's adaptive-capacity mechanism: selective filters shrink every
+downstream operator's working set (capacities are static under jit, so the
+executor guesses from statistics and grows on overflow, exactly like join
+output capacities). Returns the true match count for that overflow check.
+"""
 
 from __future__ import annotations
 
-from ..utils.columnar import DeviceTable, filter_rows
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..utils.columnar import (DeviceTable, compaction_indices, filter_rows,
+                              gather_table)
 from .expressions import Expr
 
 
-def filter_table(t: DeviceTable, predicate: Expr) -> DeviceTable:
-    import jax.numpy as jnp
+def filter_table(t: DeviceTable, predicate: Expr,
+                 out_cap: Optional[int] = None
+                 ) -> Tuple[DeviceTable, jnp.ndarray]:
     v, valid, _ = predicate.eval(t)
     mask = t.row_mask() & valid & v.astype(jnp.bool_)
-    return filter_rows(t, mask)
+    if out_cap is None or out_cap >= t.capacity:
+        out = filter_rows(t, mask)
+        return out, out.num_rows
+    gidx, n = compaction_indices(mask)
+    kept = jnp.minimum(n, out_cap)
+    row_valid = jnp.arange(out_cap, dtype=jnp.int32) < kept
+    return gather_table(t, gidx[:out_cap], kept, row_valid), n

@@ -183,18 +183,21 @@ def unlocal_table(t: DeviceTable):
 
 
 def gather_shards(schema: Schema, cols, num_rows) -> HostTable:
-    """Collect sharded results ([P, cap] leaves + num_rows[P]) to one host table."""
-    import numpy as np
-    P = num_rows.shape[0]
-    nr = np.asarray(num_rows)
-    out_cols = {f.name: ([], []) for f in schema.fields}
-    for p in range(P):
-        k = int(nr[p])
-        for f in schema.fields:
-            v, valid = cols[f.name]
-            out_cols[f.name][0].append(np.asarray(v[p])[:k])
-            out_cols[f.name][1].append(np.asarray(valid[p])[:k])
-    final = {n: (np.concatenate(vs) if vs else np.zeros(0),
-                 np.concatenate(ms) if ms else np.zeros(0, np.bool_))
-             for n, (vs, ms) in out_cols.items()}
-    return HostTable(schema, final, int(nr.sum()))
+    """Collect sharded results ([P, cap] leaves + num_rows[P]) to one host
+    table. Valid rows of every shard are compacted ON DEVICE into one table
+    first — device->host transfer of shard padding would dominate otherwise
+    (the relay link is slow)."""
+    import jax
+    from ..utils.columnar import DeviceTable, concat_tables
+
+    nr = jax.device_get(num_rows)
+    P = nr.shape[0]
+
+    def compact(cols, num_rows):
+        parts = []
+        for p in range(P):
+            pcols = {n: (v[p], valid[p]) for n, (v, valid) in cols.items()}
+            parts.append(DeviceTable(schema, pcols, num_rows[p]))
+        return concat_tables(parts)
+
+    return jax.jit(compact)(cols, num_rows).to_host()

@@ -55,8 +55,9 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
     if isinstance(node, PScan):
         return tables[node.label]
     if isinstance(node, PFilter):
-        return filter_table(execute_dist(node.child, tables, ctx, axis),
-                            node.predicate)
+        out, _ = filter_table(execute_dist(node.child, tables, ctx, axis),
+                              node.predicate)
+        return out
     if isinstance(node, PProject):
         return project_table(execute_dist(node.child, tables, ctx, axis),
                              node.exprs, node.out_fields)

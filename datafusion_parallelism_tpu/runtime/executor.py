@@ -18,7 +18,8 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 
-from ..models.physical import ExecContext, PhysicalPlan, PScan, find_joins
+from ..models.physical import (ExecContext, PhysicalPlan, PScan,
+                               find_adaptive, find_joins)
 from ..utils.catalog import Catalog
 from ..utils.columnar import DeviceTable, HostTable, round_capacity
 
@@ -74,7 +75,7 @@ class QueryHandle:
             sv.holder[0] = value
 
         tables = self._leaf_tables()
-        joins = find_joins(self.plan)
+        adaptive = find_adaptive(self.plan)
         plan = self.plan
 
         while True:
@@ -89,7 +90,7 @@ class QueryHandle:
                 def fn(tables, _caps=caps):
                     ctx = ExecContext(_caps)
                     out = plan.execute(tables, ctx)
-                    totals = [ctx.join_totals[j.join_id] for j in joins]
+                    totals = [ctx.join_totals[k] for k, _ in adaptive]
                     return out, totals
 
                 t0 = time.time()
@@ -101,15 +102,15 @@ class QueryHandle:
                 self.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
             out, totals = self._compiled(tables)
-            jax.block_until_ready(totals)
+            # int() forces a host fetch — the only TRUE synchronization on
+            # relay-backed devices (block_until_ready can return early there)
+            totals = [int(t) for t in totals]
             self.metrics.run_time_s += time.time() - t0
 
             overflow = False
-            for j, total in zip(joins, totals):
-                total = int(total)
-                cap = self._caps[j.join_id]
-                if total > cap:
-                    self._caps[j.join_id] = round_capacity(total)
+            for (k, _), total in zip(adaptive, totals):
+                if total > self._caps[k]:
+                    self._caps[k] = round_capacity(total)
                     overflow = True
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
@@ -142,10 +143,10 @@ class QueryHandle:
 
             compiled = jax.jit(fn).lower(tables).compile()
             n, _ = compiled(tables)
-            jax.block_until_ready(n)
+            n = int(n)  # host fetch = true synchronization
             t0 = time.time()
             n, _ = compiled(tables)
-            jax.block_until_ready(n)
+            n = int(n)
             dt = time.time() - t0
             lines.append("  " * depth
                          + f"{node.describe()}  [rows={int(n)} "

@@ -348,15 +348,31 @@ class DeviceTable:
         return DeviceTable(Schema(fields), cols, self.num_rows)
 
     def to_host(self) -> HostTable:
+        """Shrink to valid rows ON DEVICE before transferring: device->host
+        links can be orders of magnitude slower than HBM (the axon relay
+        moves ~0.6 MB/s), so padding must never travel."""
         n = int(self.num_rows)
-        cols = {}
+        k = min(self.capacity, round_capacity(max(n, 1), minimum=8))
+        leaves = []
         for f in self.schema.fields:
             v, valid = self.columns[f.name]
-            cols[f.name] = (np.asarray(v)[:n], np.asarray(valid)[:n])
+            leaves += [v, valid]
+        small = jax.device_get(_shrink_arrays(tuple(leaves), k))
+        cols = {}
+        for i, f in enumerate(self.schema.fields):
+            cols[f.name] = (small[2 * i][:n], small[2 * i + 1][:n])
         return HostTable(self.schema, cols, n)
 
     def __repr__(self):
         return (f"DeviceTable(cap={self.capacity}, cols={self.schema.names})")
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=1)
+def _shrink_arrays(arrs, k: int):
+    return tuple(a[:k] for a in arrs)
 
 
 def _dt_flatten(t: DeviceTable):
@@ -383,16 +399,11 @@ def gather_table(t: DeviceTable, indices: jnp.ndarray, new_num_rows,
     """New table of capacity len(indices): row j = t[indices[j]].
 
     `row_valid[j] = False` nulls the whole row (used for outer-join padding).
+    Implemented as pack -> ONE row-gather -> unpack: TPU gathers cost per
+    index, so fetching all columns per row costs barely more than one column.
     """
-    cols = {}
-    for f in t.schema.fields:
-        v, valid = t.columns[f.name]
-        gv = jnp.take(v, indices, mode="clip")
-        gvalid = jnp.take(valid, indices, mode="clip")
-        if row_valid is not None:
-            gvalid = gvalid & row_valid
-        cols[f.name] = (gv, gvalid)
-    return DeviceTable(t.schema, cols, jnp.asarray(new_num_rows, jnp.int32))
+    pt = pack_table(t).take_rows(indices)
+    return unpack_table(pt, t.schema, new_num_rows, row_valid)
 
 
 def compaction_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

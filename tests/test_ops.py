@@ -49,7 +49,7 @@ def test_three_valued_logic():
 
 def test_filter_null_rejects():
     t = dt({"a": [1, None, 3, 4], "v": [10, 20, 30, 40]})
-    out = filter_table(t, BinOp(">", Col("a"), Lit(1, INT32)))
+    out, _ = filter_table(t, BinOp(">", Col("a"), Lit(1, INT32)))
     rows = out.to_host().to_pylist()
     assert [r["v"] for r in rows] == [30, 40]
 
@@ -86,7 +86,7 @@ def test_in_codes_string_predicate():
     d = t.schema.field("s").dictionary
     import numpy as np
     codes = np.array([d.code_of("apple"), d.code_of("cherry")], dtype=np.int32)
-    out = filter_table(t, InCodes(Col("s"), codes))
+    out, _ = filter_table(t, InCodes(Col("s"), codes))
     rows = out.to_host().to_pylist()
     assert [r["s"] for r in rows] == ["apple", "cherry", "apple"]
 
@@ -138,7 +138,7 @@ def test_aggregate_global():
 
 def test_aggregate_empty_input():
     t = dt({"k": [1], "v": [1]})
-    t = filter_table(t, BinOp("<", Col("v"), Lit(0, INT32)))  # empty
+    t, _ = filter_table(t, BinOp("<", Col("v"), Lit(0, INT32)))  # empty
     out = hash_aggregate(t, ["k"], [AggSpec("sum", "v", "s")])
     assert out.to_host().to_pylist() == []
 
@@ -182,7 +182,7 @@ def test_jit_pipeline_fusion():
 
     @jax.jit
     def pipeline(t):
-        f = filter_table(t, BinOp(">", Col("v"), Lit(10, INT32)))
+        f, _ = filter_table(t, BinOp(">", Col("v"), Lit(10, INT32)))
         return hash_aggregate(f, ["k"], [AggSpec("sum", "v", "s")])
 
     rows = pipeline(t).to_host().to_pylist()
