@@ -201,13 +201,35 @@ class PAggregate(PhysicalPlan):
         return f"Aggregate(group={self.group_keys}, aggs=[{a}])"
 
     def execute(self, tables, ctx):
-        child = self.child.execute(tables, ctx)
+        import jax.numpy as jnp
+        row_filter = None
+        child = None
+        if not self.group_keys:
+            # GLOBAL aggregate over a filter (under any projection chain):
+            # fuse the predicate as a row mask — no compaction, no capacity,
+            # no gathers (Q6/Q14/Q19's shape). Projections are elementwise
+            # and row-aligned, so the mask stays valid across them.
+            projs = []
+            node = self.child
+            while isinstance(node, PProject):
+                projs.append(node)
+                node = node.child
+            if isinstance(node, PFilter) and not isinstance(node.child, PFilter):
+                inner = node.child.execute(tables, ctx)
+                v, valid, _ = node.predicate.eval(inner)
+                row_filter = valid & v.astype(jnp.bool_)
+                ctx.join_totals[node.node_id] = jnp.int32(0)
+                child = inner
+                for p in reversed(projs):
+                    child = project_table(child, p.exprs, p.out_fields)
+        if child is None:
+            child = self.child.execute(tables, ctx)
         cap = ctx.join_caps.get(self.node_id)
         if cap is None:
             cap = min(child.capacity, max(1024, child.capacity // 4))
             ctx.join_caps[self.node_id] = cap
         out, total = hash_aggregate_counted(child, self.group_keys, self.aggs,
-                                            cap)
+                                            cap, row_filter)
         ctx.join_totals[self.node_id] = total
         return out
 

@@ -64,13 +64,17 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
 
 def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
                            aggs: List[AggSpec],
-                           out_cap: Optional[int] = None):
-    """-> (table, true group count) — count may exceed the output capacity."""
+                           out_cap: Optional[int] = None,
+                           row_filter=None):
+    """-> (table, true group count) — count may exceed the output capacity.
+
+    row_filter: optional bool[cap] mask fused into the aggregate (a filter
+    feeding a GLOBAL aggregate needs no compaction at all)."""
     cap = t.capacity
     out_schema = agg_output_schema(t.schema, group_keys, aggs)
 
     if not group_keys:
-        g = _global_aggregate(t, aggs, out_schema)
+        g = _global_aggregate(t, aggs, out_schema, row_filter)
         return g, g.num_rows
     if out_cap is None or out_cap > cap:
         out_cap = cap
@@ -236,8 +240,10 @@ def _dtype_min(dt):
 
 
 def _global_aggregate(t: DeviceTable, aggs: List[AggSpec],
-                      out_schema: Schema) -> DeviceTable:
+                      out_schema: Schema, row_filter=None) -> DeviceTable:
     in_row = t.row_mask()
+    if row_filter is not None:
+        in_row = in_row & row_filter
     cols = {}
     for a in aggs:
         if a.func == "count_star":

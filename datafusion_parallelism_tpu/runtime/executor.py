@@ -109,7 +109,9 @@ class QueryHandle:
 
             overflow = False
             for (k, _), total in zip(adaptive, totals):
-                if total > self._caps[k]:
+                # nodes fused away (filter under a global aggregate) report 0
+                # and never own a capacity
+                if total > self._caps.get(k, total):
                     self._caps[k] = round_capacity(total)
                     overflow = True
             self.metrics.join_caps = dict(self._caps)
