@@ -111,8 +111,15 @@ class QueryHandle:
             for (k, _), total in zip(adaptive, totals):
                 # nodes fused away (filter under a global aggregate) report 0
                 # and never own a capacity
-                if total > self._caps.get(k, total):
-                    self._caps[k] = round_capacity(total)
+                cap = self._caps.get(k, total)
+                fit = round_capacity(max(total, 1), minimum=1024)
+                if total > cap:
+                    self._caps[k] = fit
+                    overflow = True
+                elif cap > 4 * fit:
+                    # shrink-on-overshoot: heuristic capacities that came in
+                    # far too large re-specialize once (compile is cached)
+                    self._caps[k] = fit
                     overflow = True
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
