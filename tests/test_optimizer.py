@@ -1,0 +1,71 @@
+"""Optimizer rules + observability surfaces."""
+
+import datafusion_parallelism_tpu as dfp
+from datafusion_parallelism_tpu import SessionConfig
+from datafusion_parallelism_tpu.models.physical import (PFilter, PHashJoin,
+                                                        PProject, PScan)
+from datafusion_parallelism_tpu.utils.catalog import Statistics
+
+
+def _ctx():
+    ctx = dfp.SessionContext()
+    ctx.register_pydict("wide", {
+        "k": [1, 2, 3, 4], "a": [1, 2, 3, 4], "b": [5, 6, 7, 8],
+        "c": [9, 10, 11, 12], "d": [13, 14, 15, 16],
+    }, statistics=Statistics(row_count=4))
+    ctx.register_pydict("dim", {"k2": [1, 2], "v": [10, 20]},
+                        statistics=Statistics(row_count=2))
+    return ctx
+
+
+def test_prune_columns_narrows_scan():
+    h = _ctx().sql("SELECT a FROM wide JOIN dim ON k = k2")
+    # the scan of `wide` must be wrapped in a projection keeping only k, a
+    for node in h.plan.walk():
+        if isinstance(node, PScan) and node.table_name == "wide":
+            raise AssertionError("scan not pruned:\n" + h.plan.tree())
+        if isinstance(node, PProject) and isinstance(node.child, PScan) \
+                and node.child.table_name == "wide":
+            assert sorted(n.split(".")[-1] for n in node.schema.names) == ["a", "k"]
+            break
+    else:
+        raise AssertionError("no pruning projection above wide")
+    assert h.collect().to_pylist() == [{"a": 1}, {"a": 2}]
+
+
+def test_coalesce_filters_single_node():
+    h = _ctx().sql("SELECT a FROM wide WHERE a > 0 AND b > 0 AND c > 0")
+    filters = [n for n in h.plan.walk() if isinstance(n, PFilter)]
+    assert len(filters) == 1, h.plan.tree()
+    assert len(h.collect().to_pylist()) == 4
+
+
+def test_dist_mode_annotation():
+    cfg = SessionConfig(target_partitions=1, broadcast_threshold=10)
+    ctx = dfp.SessionContext(cfg)
+    ctx.register_pydict("fact", {"k": list(range(100)), "m": list(range(100))},
+                        statistics=Statistics(row_count=100_000))
+    ctx.register_pydict("tiny", {"k2": [1, 2], "v": [1, 2]},
+                        statistics=Statistics(row_count=2))
+    h = ctx.sql("SELECT m FROM fact JOIN tiny ON k = k2")
+    join = [n for n in h.plan.walk() if isinstance(n, PHashJoin)][0]
+    assert join.dist_mode == "broadcast"
+
+
+def test_analyze_and_tracing():
+    from datafusion_parallelism_tpu.utils.tracing import span, span_report
+    ctx = _ctx()
+    h = ctx.sql("SELECT a FROM wide WHERE a > 1")
+    with span("analyze"):
+        out = h.analyze()
+    assert "Filter" in out and "rows=3" in out
+    rep = span_report(reset=True)
+    assert rep and rep[0][0] == "analyze"
+
+
+def test_metrics_populated():
+    ctx = _ctx()
+    h = ctx.sql("SELECT a FROM wide JOIN dim ON k = k2")
+    h.collect()
+    assert h.metrics.compile_count >= 1
+    assert h.metrics.join_caps
