@@ -168,7 +168,10 @@ class PHashJoin(PhysicalPlan):
         p = self.probe.execute(tables, ctx)
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
-            cap = max(256, 2 * max(b.capacity, p.capacity))
+            # ~1 match per probe row is the common FK-join shape; overflow
+            # retry grows it, shrink-on-overshoot trims it — and the FIRST
+            # run must fit in HBM (SF1 Q5 OOMs at 2x)
+            cap = max(256, b.capacity, p.capacity)
             ctx.join_caps[self.join_id] = cap
         residual_fn = None
         if self.residual is not None:
@@ -204,24 +207,25 @@ class PAggregate(PhysicalPlan):
         import jax.numpy as jnp
         row_filter = None
         child = None
-        if not self.group_keys:
-            # GLOBAL aggregate over a filter (under any projection chain):
-            # fuse the predicate as a row mask — no compaction, no capacity,
-            # no gathers (Q6/Q14/Q19's shape). Projections are elementwise
-            # and row-aligned, so the mask stays valid across them.
-            projs = []
-            node = self.child
-            while isinstance(node, PProject):
-                projs.append(node)
-                node = node.child
-            if isinstance(node, PFilter) and not isinstance(node.child, PFilter):
-                inner = node.child.execute(tables, ctx)
-                v, valid, _ = node.predicate.eval(inner)
-                row_filter = valid & v.astype(jnp.bool_)
-                ctx.join_totals[node.node_id] = jnp.int32(0)
-                child = inner
-                for p in reversed(projs):
-                    child = project_table(child, p.exprs, p.out_fields)
+        # Aggregate over a filter (under any projection chain): fuse the
+        # predicate as a row mask. A global aggregate then needs no
+        # compaction at all, and a grouped one compacts implicitly through
+        # its grouping sort — either way the filter's own row-gather
+        # disappears. Projections are elementwise and row-aligned, so the
+        # mask stays valid across them.
+        projs = []
+        node = self.child
+        while isinstance(node, PProject):
+            projs.append(node)
+            node = node.child
+        if isinstance(node, PFilter) and not isinstance(node.child, PFilter):
+            inner = node.child.execute(tables, ctx)
+            v, valid, _ = node.predicate.eval(inner)
+            row_filter = valid & v.astype(jnp.bool_)
+            ctx.join_totals[node.node_id] = jnp.int32(0)
+            child = inner
+            for p in reversed(projs):
+                child = project_table(child, p.exprs, p.out_fields)
         if child is None:
             child = self.child.execute(tables, ctx)
         cap = ctx.join_caps.get(self.node_id)

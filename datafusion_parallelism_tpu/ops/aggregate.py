@@ -80,6 +80,10 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
         out_cap = cap
 
     in_row = t.row_mask()
+    if row_filter is not None:
+        # fused filter: failing rows become padding — the grouping sort
+        # pushes them past the valid prefix, so no separate compaction runs
+        in_row = in_row & row_filter
     h = hash_rows([t.column(k) for k in group_keys])
     # padding rows sort to the top via a sentinel above any uint32
     sort_key = jnp.where(in_row, h.astype(jnp.int64), jnp.int64(1) << 33)
@@ -125,8 +129,9 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # cheaper than a scatter-add over the full capacity (segment_sum)
     starts = bpos[:out_cap]
     g = jnp.arange(out_cap, dtype=jnp.int32)
+    n_valid = jnp.sum(in_row, dtype=jnp.int32)  # sorted valid prefix length
     ends = jnp.where(g + 1 < kept, jnp.take(bpos, g + 1, mode="clip") - 1,
-                     jnp.maximum(t.num_rows - 1, 0))
+                     jnp.maximum(n_valid - 1, 0))
 
     def seg_sum_sorted(data):
         p = jnp.cumsum(data)

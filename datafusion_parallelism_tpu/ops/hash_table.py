@@ -32,9 +32,12 @@ import jax.numpy as jnp
 
 
 class JoinStrategy(enum.Enum):
+    """The engine's analog of the reference's 10-variant JoinReplacement axis.
+    A Pallas-kernel strategy was evaluated and rejected for this hardware
+    generation — see docs/TPU_PERFORMANCE_NOTES.md (Mosaic dynamic_gather
+    cannot span vregs; XLA's gather is the practical floor)."""
     CSR = "csr"          # bucketed hash table (default)
     SORT = "sort"        # sort-merge on hashes
-    PALLAS = "pallas"    # fused Pallas probe kernel (CSR layout)
 
 
 class JoinTable(NamedTuple):
