@@ -64,8 +64,20 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
     if isinstance(node, PHashJoin):
         b = execute_dist(node.build, tables, ctx, axis)
         p = execute_dist(node.probe, tables, ctx, axis)
-        # send capacities are safe by construction: a shard never sends more
-        # rows than it holds (even fully-replicated salted build rows)
+        P_ = lax.psum(1, axis)
+
+        def send_cap(tag, t):
+            # adaptive per-destination send block: ~4x the balanced share;
+            # dropped-row counts grow it on retry (capped at shard capacity,
+            # which can never drop rows)
+            key = (node.join_id, tag)
+            cap = ctx.join_caps.get(key)
+            if cap is None:
+                cap = min(t.capacity, max(1024, 4 * (t.capacity // max(P_, 1))))
+                ctx.join_caps[key] = cap
+            return cap
+
+        bdrop = pdrop = jnp.int32(0)
         if node.dist_mode == "broadcast":
             b2, p2 = _all_gather_table(b, axis), p
         elif node.dist_mode == "skew_salted":
@@ -76,14 +88,20 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
             hist = key_histogram(p, node.probe_keys, axis)
             heavy = heavy_buckets(hist)
             rep = build_replication_mask(b, node.build_keys, heavy)
+            # replicated rows can land everywhere: keep the safe capacity
             b2, _ = replicating_shuffle(b, node.build_keys, b.capacity, rep,
                                         axis)
             dest, _ = salted_route(p, node.probe_keys, heavy, axis)
-            p2, _ = shuffle_by_hash(p, node.probe_keys, p.capacity, axis,
-                                    dest_override=dest)
+            p2, pdrop = shuffle_by_hash(p, node.probe_keys,
+                                        send_cap("ps", p), axis,
+                                        dest_override=dest)
         else:
-            b2, _ = shuffle_by_hash(b, node.build_keys, b.capacity, axis)
-            p2, _ = shuffle_by_hash(p, node.probe_keys, p.capacity, axis)
+            b2, bdrop = shuffle_by_hash(b, node.build_keys,
+                                        send_cap("bs", b), axis)
+            p2, pdrop = shuffle_by_hash(p, node.probe_keys,
+                                        send_cap("ps", p), axis)
+        ctx.join_totals[(node.join_id, "bs")] = bdrop
+        ctx.join_totals[(node.join_id, "ps")] = pdrop
         cap = ctx.join_caps.get(node.join_id)
         if cap is None:
             cap = max(256, 2 * max(b2.capacity, p2.capacity))
@@ -173,6 +191,10 @@ class DistributedQueryHandle(QueryHandle):
         leaf_rows = [sharded[l][1] for l in labels]
         schemas = {l: sharded[l][2] for l in labels}
         joins = find_joins(self.plan)
+        # per join: candidate total + build/probe shuffle dropped-row counts
+        keys = []
+        for j in joins:
+            keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
         plan, axis = self.plan, self.axis
 
         while True:
@@ -187,8 +209,8 @@ class DistributedQueryHandle(QueryHandle):
                 ctx = ExecContext(_caps)
                 out = execute_dist(plan, tables, ctx, axis)
                 totals = jnp.stack(
-                    [ctx.join_totals[j.join_id] for j in joins]) \
-                    if joins else jnp.zeros((0,), jnp.int32)
+                    [jnp.asarray(ctx.join_totals.get(k, 0), jnp.int32)
+                     for k in keys]) if keys else jnp.zeros((0,), jnp.int32)
                 ocols, onum = unlocal_table(out)
                 return ocols, onum, totals
 
@@ -199,13 +221,17 @@ class DistributedQueryHandle(QueryHandle):
             self.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
             ocols, onum, totals = compiled(leaf_cols, leaf_rows)
-            jax.block_until_ready(onum)
+            totals = [int(t) for t in totals]  # host fetch = true sync
             self.metrics.run_time_s += time.time() - t0
 
             overflow = False
-            for j, total in zip(joins, list(totals)):
-                if int(total) > self._caps[j.join_id]:
-                    self._caps[j.join_id] = round_capacity(int(total))
+            for k, total in zip(keys, totals):
+                if isinstance(k, tuple):
+                    if total > 0:  # dropped shuffle rows: double the block
+                        self._caps[k] = 2 * self._caps[k]
+                        overflow = True
+                elif total > self._caps[k]:
+                    self._caps[k] = round_capacity(total)
                     overflow = True
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
