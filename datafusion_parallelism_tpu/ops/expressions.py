@@ -49,6 +49,38 @@ def _promote(lv: Arr, ldt: DType, rv: Arr, rdt: DType) -> Tuple[Arr, Arr, DType]
     return lv.astype(wide), rv.astype(wide), out
 
 
+_MAX_DECIMAL_SCALE = 4
+
+
+def _decimal_arith(op, lv, ldt, rv, rdt):
+    """Exact decimal +,-,* in the scaled int64 domain (TPC-H money math).
+
+    Result scale is bounded by _MAX_DECIMAL_SCALE (int64 headroom for 6M-row
+    sums); wider products fall through to float64. Division always floats.
+    """
+    from ..utils.columnar import DECIMAL as _DEC
+    kinds = (ldt.kind, rdt.kind)
+    ints = (Kind.INT32, Kind.INT64)
+    if Kind.DECIMAL not in kinds or op not in ("+", "-", "*"):
+        return None
+    if not all(k is Kind.DECIMAL or k in ints for k in kinds):
+        return None
+    ls = ldt.scale if ldt.kind is Kind.DECIMAL else 0
+    rs = rdt.scale if rdt.kind is Kind.DECIMAL else 0
+    a = lv.astype(jnp.int64)
+    b = rv.astype(jnp.int64)
+    if op == "*":
+        if ls + rs > _MAX_DECIMAL_SCALE:
+            return None
+        return a * b, _DEC(ls + rs)
+    s = max(ls, rs)
+    if s > _MAX_DECIMAL_SCALE:
+        return None
+    a = a * (10 ** (s - ls))
+    b = b * (10 ** (s - rs))
+    return (a + b if op == "+" else a - b), _DEC(s)
+
+
 class Expr:
     def eval(self, t: DeviceTable) -> EvalResult:
         raise NotImplementedError
@@ -138,6 +170,10 @@ class BinOp(Expr):
             a, b, _ = _promote(lv, ldt, rv, rdt)
             return _CMP[op](a, b), valid, BOOL
         if op in _ARITH:
+            d = _decimal_arith(op, lv, ldt, rv, rdt)
+            if d is not None:
+                v, dt = d
+                return v, valid, dt
             a, b, dt = _promote(lv, ldt, rv, rdt)
             if op == "+":
                 v = a + b
