@@ -50,6 +50,57 @@ class QueryHandle:
         self._caps: Dict[int, int] = {}
         self._compiled = None
         self._compiled_key = None
+        self._caps_loaded = False
+
+    # -- learned-capacity persistence ----------------------------------------
+    # Every overflow/shrink retry is a fresh XLA shape (minutes cold at SF1);
+    # remembering the settled capacities per (plan, input shapes) makes later
+    # processes compile the final shape directly.
+    def _caps_store_path(self):
+        import os
+        base = os.environ.get(
+            "DFP_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "dfp_xla_cache"))
+        return os.path.join(base, "learned_caps.json")
+
+    def _caps_signature(self):
+        import hashlib
+        leaf = sorted((n.label, self.catalog.get(n.table_name).host.num_rows)
+                      for n in self.plan.walk() if isinstance(n, PScan))
+        raw = self.plan.tree() + repr(leaf)
+        return hashlib.sha1(raw.encode()).hexdigest()
+
+    def _load_caps(self, adaptive):
+        import json
+        import os
+        self._caps_loaded = True
+        try:
+            with open(self._caps_store_path()) as f:
+                stored = json.load(f).get(self._caps_signature())
+            if stored and len(stored) == len(adaptive):
+                for (k, _), cap in zip(adaptive, stored):
+                    if cap is not None:  # None = node was fused away
+                        self._caps[k] = cap
+        except (OSError, ValueError):
+            pass
+
+    def _save_caps(self, adaptive):
+        import json
+        import os
+        path = self._caps_store_path()
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                data = {}
+            data[self._caps_signature()] = [self._caps.get(k)
+                                            for k, _ in adaptive]
+            with open(path, "w") as f:
+                json.dump(data, f)
+        except OSError:
+            pass
 
     # -- inputs ---------------------------------------------------------------
     def _leaf_tables(self) -> Dict[str, DeviceTable]:
@@ -77,6 +128,8 @@ class QueryHandle:
         tables = self._leaf_tables()
         adaptive = find_adaptive(self.plan)
         plan = self.plan
+        if not self._caps_loaded:
+            self._load_caps(adaptive)
 
         while True:
             key = (tuple(sorted(self._caps.items())),
@@ -123,6 +176,7 @@ class QueryHandle:
                     overflow = True
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
+                self._save_caps(adaptive)
                 return out
             self.metrics.retries += 1
             self._compiled = None
