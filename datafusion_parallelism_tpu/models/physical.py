@@ -54,12 +54,14 @@ class PhysicalPlan:
 
 
 class ExecContext:
-    """Per-execution mutable state: join output capacities (grown on overflow
-    retry) and the overflow totals reported by each join."""
+    """Per-execution mutable state: adaptive output capacities (grown on
+    overflow retry), the overflow totals reported by each node, and — under
+    staged execution — materialized join results from earlier launches."""
 
-    def __init__(self, join_caps: Dict[int, int]):
+    def __init__(self, join_caps: Dict[int, int], materialized=None):
         self.join_caps = join_caps
         self.join_totals: Dict[int, jnp.ndarray] = {}
+        self.materialized = materialized or {}
 
 
 @dataclass
@@ -164,6 +166,8 @@ class PHashJoin(PhysicalPlan):
                 f"on {list(zip(self.build_keys, self.probe_keys))}{r}")
 
     def execute(self, tables, ctx):
+        if self.join_id in ctx.materialized:   # staged execution boundary
+            return ctx.materialized[self.join_id]
         b = self.build.execute(tables, ctx)
         p = self.probe.execute(tables, ctx)
         cap = ctx.join_caps.get(self.join_id)

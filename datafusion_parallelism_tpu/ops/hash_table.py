@@ -159,11 +159,12 @@ def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
               .at[jnp.where(count > 0, base_per_row, out_cap)]
               .max(jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop"))
     probe_idx = jax.lax.cummax(marker)
-    # one row-gather for all per-probe-row values
+    # one row-gather for all per-probe-row values ([3, cap] layout: a minor
+    # dim < 128 would pad to 128 lanes — 42x memory)
     probe_state = jnp.stack(
-        [start, base_per_row, probe_hashes.view(jnp.int32)], axis=1)
-    gstate = jnp.take(probe_state, probe_idx, axis=0, mode="clip")
-    pos = gstate[:, 0] + (j - gstate[:, 1])
+        [start, base_per_row, probe_hashes.view(jnp.int32)], axis=0)
+    gstate = jnp.take(probe_state, probe_idx, axis=1, mode="clip")
+    pos = gstate[0, :] + (j - gstate[1, :])
     cand = j < total
     if table.is_sort:
         build_idx = jnp.take(table.perm, pos, mode="clip")
@@ -172,7 +173,7 @@ def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
         ph = jnp.take(table.perm_hash, pos, mode="clip")
         build_idx = jnp.bitwise_and(ph, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
         bhash = (ph >> jnp.int64(32)).astype(jnp.uint32)
-        hash_eq = bhash == gstate[:, 2].view(jnp.uint32)
+        hash_eq = bhash == gstate[2, :].view(jnp.uint32)
     return Candidates(probe_idx, build_idx, cand & hash_eq, total)
 
 

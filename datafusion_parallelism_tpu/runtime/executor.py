@@ -17,6 +17,7 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from ..models.physical import (ExecContext, PhysicalPlan, PScan,
                                find_adaptive, find_joins)
@@ -74,6 +75,8 @@ class QueryHandle:
         import json
         import os
         self._caps_loaded = True
+        if os.environ.get("DFP_NO_CAP_STORE"):
+            return
         try:
             with open(self._caps_store_path()) as f:
                 stored = json.load(f).get(self._caps_signature())
@@ -87,6 +90,8 @@ class QueryHandle:
     def _save_caps(self, adaptive):
         import json
         import os
+        if os.environ.get("DFP_NO_CAP_STORE"):
+            return
         path = self._caps_store_path()
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -130,6 +135,17 @@ class QueryHandle:
         plan = self.plan
         if not self._caps_loaded:
             self._load_caps(adaptive)
+
+        # Staged execution for large plans: one XLA program holding every
+        # join's packed intermediates OOMs HBM around TPC-H SF1 Q5.
+        # Materializing at join boundaries bounds each launch's working set
+        # and makes overflow retries per-stage. Threshold: big inputs + >1
+        # join. Small queries stay single-program (fewer ~30ms launches).
+        total_cap = sum(t.capacity * len(t.schema.fields)
+                        for t in tables.values())
+        joins = find_joins(plan)
+        if total_cap * 8 > (1 << 30) and len(joins) > 1:
+            return self._run_staged(tables, adaptive, joins)
 
         while True:
             key = (tuple(sorted(self._caps.items())),
@@ -180,6 +196,72 @@ class QueryHandle:
                 return out
             self.metrics.retries += 1
             self._compiled = None
+
+    def _run_staged(self, tables, adaptive, joins) -> DeviceTable:
+        """Execute join subtrees bottom-up in separate launches; each join's
+        result feeds later stages through ctx.materialized (as jit ARGUMENTS,
+        so retracing only happens when that stage's capacities change)."""
+        # bottom-up join order: a join runs after every join beneath it
+        # (identity-based: dataclass equality would deep-compare plans)
+        order: List = []
+        seen = set()
+        join_ids = {id(j) for j in joins}
+
+        def post(n):
+            for c in n.children():
+                post(c)
+            if id(n) in join_ids and id(n) not in seen:
+                seen.add(id(n))
+                order.append(n)
+
+        post(self.plan)
+        mats: Dict[int, DeviceTable] = {}
+        stages = [(True, j) for j in order if j is not self.plan]
+        stages.append((False, self.plan))
+
+        for materialize, node in stages:
+            # adaptive nodes in this subtree; ones beneath already-
+            # materialized joins short-circuit and report 0 (no-ops here)
+            sub_adaptive = [(k, n) for k, n in adaptive
+                            if any(m is n for m in node.walk())]
+            while True:
+                caps = dict(self._caps)
+                mat_keys = sorted(mats)
+
+                def fn(tables, mat_list, _caps=caps, _node=node,
+                       _keys=tuple(mat_keys)):
+                    ctx = ExecContext(_caps, dict(zip(_keys, mat_list)))
+                    out = _node.execute(tables, ctx)
+                    totals = [ctx.join_totals.get(k, jnp.int32(0))
+                              for k, _ in sub_adaptive]
+                    return out, totals
+
+                mat_list = [mats[k] for k in mat_keys]
+                t0 = time.time()
+                compiled = jax.jit(fn).lower(tables, mat_list).compile()
+                self._caps.update(caps)
+                self.metrics.compile_count += 1
+                self.metrics.compile_time_s += time.time() - t0
+                t0 = time.time()
+                out, totals = compiled(tables, mat_list)
+                totals = [int(t) for t in totals]
+                self.metrics.run_time_s += time.time() - t0
+
+                overflow = False
+                for (k, _), total in zip(sub_adaptive, totals):
+                    cap = self._caps.get(k, total)
+                    fit = round_capacity(max(total, 1), minimum=1024)
+                    if total > cap or (total > 0 and cap > 4 * fit):
+                        self._caps[k] = fit
+                        overflow = True
+                self.metrics.join_caps = dict(self._caps)
+                if not overflow:
+                    break
+                self.metrics.retries += 1
+            if materialize:
+                mats[node.join_id] = out
+        self._save_caps(adaptive)
+        return out
 
     def collect(self) -> HostTable:
         return self.run().to_host()

@@ -456,14 +456,16 @@ class PackedLayout:
 
 
 class PackedTable(NamedTuple):
-    packed: jnp.ndarray                       # [cap, W] int32
+    packed: jnp.ndarray                       # [W, cap] int32 — W on the
+    # MAJOR axis: a [cap, W<128] layout pads the minor dim to 128 lanes
+    # (measured 42x memory blowup on [16M, 3]); [W, cap] pads W to 8 only
     f64s: Dict[str, jnp.ndarray]              # name -> float64[cap]
     layout: PackedLayout
 
     def take_rows(self, indices: jnp.ndarray) -> "PackedTable":
-        """Gather rows: one row-gather + one per float64 column."""
+        """Gather rows: one minor-axis gather + one per float64 column."""
         return PackedTable(
-            jnp.take(self.packed, indices, axis=0, mode="clip"),
+            jnp.take(self.packed, indices, axis=1, mode="clip"),
             {n: jnp.take(v, indices, mode="clip") for n, v in self.f64s.items()},
             self.layout)
 
@@ -512,7 +514,7 @@ def pack_table(t: DeviceTable) -> PackedTable:
             _, valid = t.columns[layout.fields[j][0]]
             word = word | (valid.astype(jnp.uint32) << jnp.uint32(j - w * 32))
         cols.append(word.view(jnp.int32))
-    return PackedTable(jnp.stack(cols, axis=1), f64s, layout)
+    return PackedTable(jnp.stack(cols, axis=0), f64s, layout)
 
 
 def unpack_table(pt: PackedTable, schema: Schema, num_rows,
@@ -524,16 +526,16 @@ def unpack_table(pt: PackedTable, schema: Schema, num_rows,
         if kind is Kind.FLOAT64:
             v = pt.f64s[name]
         elif n == 2:
-            lo = packed[:, slot].view(jnp.uint32).astype(jnp.int64)
-            hi = packed[:, slot + 1].astype(jnp.int64)
+            lo = packed[slot, :].view(jnp.uint32).astype(jnp.int64)
+            hi = packed[slot + 1, :].astype(jnp.int64)
             v = (hi << jnp.int64(32)) | lo
         elif kind is Kind.FLOAT32:
-            v = packed[:, slot].view(jnp.float32)
+            v = packed[slot, :].view(jnp.float32)
         elif kind is Kind.BOOL:
-            v = packed[:, slot].astype(jnp.bool_)
+            v = packed[slot, :].astype(jnp.bool_)
         else:
-            v = packed[:, slot]
-        word = packed[:, layout.valid_base + j // 32].view(jnp.uint32)
+            v = packed[slot, :]
+        word = packed[layout.valid_base + j // 32, :].view(jnp.uint32)
         valid = ((word >> jnp.uint32(j % 32)) & jnp.uint32(1)).astype(jnp.bool_)
         if row_valid is not None:
             valid = valid & row_valid

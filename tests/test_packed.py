@@ -14,7 +14,7 @@ def test_pack_roundtrip_all_kinds():
         "b": [True, False, None, True],       # bool
     }).to_device()
     pt = pack_table(t)
-    assert pt.packed.shape[0] == t.capacity
+    assert pt.packed.shape[1] == t.capacity  # [W, cap]: W on the major axis
     out = unpack_table(pt, t.schema, t.num_rows)
     assert out.to_host().to_pylist() == t.to_host().to_pylist()
 
