@@ -50,6 +50,13 @@ class SessionContext:
         self.register_table(name, HostTable.from_pydict(data, dtypes),
                             statistics)
 
+    def register_parquet(self, name: str, path: str,
+                         statistics: Optional[Statistics] = None):
+        """Register a parquet file, directory of part files, or glob (the
+        reference registers tpchgen parquet dirs, tpc/src/main.rs:196-224)."""
+        from .utils.parquet_io import read_parquet
+        self.register_table(name, read_parquet(path), statistics)
+
     def sql(self, query: str) -> QueryHandle:
         stmt = parse_sql(query)
         planner = Planner(self.catalog, self.config)

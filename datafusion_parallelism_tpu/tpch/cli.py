@@ -28,6 +28,49 @@ from .oracle import oracle_query
 from .queries import QUERIES
 
 
+def load_data_path(path: str) -> dict:
+    """Load TPC-H tables from a directory: per table either <name>.parquet,
+    a <name>/ directory of parquet parts, or <name>.tbl."""
+    from ..utils.parquet_io import read_parquet
+    from .datagen import TABLE_NAMES
+    from .tbl_loader import load_tbl
+
+    tables = {}
+    for name in TABLE_NAMES:
+        pq_file = os.path.join(path, f"{name}.parquet")
+        pq_dir = os.path.join(path, name)
+        tbl = os.path.join(path, f"{name}.tbl")
+        if os.path.isfile(pq_file):
+            tables[name] = read_parquet(pq_file)
+        elif os.path.isdir(pq_dir):
+            tables[name] = read_parquet(pq_dir)
+        elif os.path.isfile(tbl):
+            tables[name] = load_tbl(tbl, name)
+        else:
+            raise FileNotFoundError(f"no data for table {name!r} under {path}")
+    return tables
+
+
+def apply_config_file(cfg, path: str) -> None:
+    """key=value lines -> SessionConfig attributes (values parse as python
+    literals when possible; '#' comments and blank lines skipped)."""
+    import ast
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if not hasattr(cfg, key):
+                raise KeyError(f"unknown config key {key!r} in {path}")
+            try:
+                parsed = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                parsed = val
+            setattr(cfg, key, parsed)
+
+
 def run(argv=None) -> dict:
     ap = argparse.ArgumentParser("tpch")
     ap.add_argument("--concurrency", type=int, default=1,
@@ -45,13 +88,25 @@ def run(argv=None) -> dict:
     ap.add_argument("--check", action="store_true",
                     help="validate results against the Python oracle")
     ap.add_argument("--output-path", default=None)
+    ap.add_argument("--data-path", default=None,
+                    help="directory of <table>.parquet files / <table>/ part "
+                    "dirs / <table>.tbl instead of generating data "
+                    "(reference tpc/src/main.rs --data-path)")
+    ap.add_argument("--config-path", default=None,
+                    help="key=value file applied to SessionConfig "
+                    "(reference tpc/src/main.rs:160-177)")
     args = ap.parse_args(argv)
 
     queries = args.query or sorted(QUERIES)
     t0 = time.time()
-    tables = generate_tables(sf=args.scale_factor)
+    if args.data_path:
+        tables = load_data_path(args.data_path)
+    else:
+        tables = generate_tables(sf=args.scale_factor)
     cfg = SessionConfig(target_partitions=args.concurrency,
                         join_strategy=JoinStrategy(args.join_strategy))
+    if args.config_path:
+        apply_config_file(cfg, args.config_path)
     ctx = SessionContext(cfg)
     for n, t in tables.items():
         ctx.register_table(n, t)
