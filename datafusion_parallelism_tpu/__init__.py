@@ -26,6 +26,16 @@ import jax
 # kernels use explicit 32-bit dtypes; this only widens what is representable.
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS even when a platform plugin overrode it: this image's
+# axon sitecustomize sets jax_platforms="axon,cpu" PROGRAMMATICALLY at
+# interpreter start, which silently wins over the env var — `JAX_PLATFORMS=cpu
+# pytest` was running every default-device computation on the remote TPU.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 # Persistent XLA compilation cache: query plans recompile identically across
 # runs (tests, CLI iterations); disable with DFP_NO_COMPILE_CACHE=1.
 if not _os.environ.get("DFP_NO_COMPILE_CACHE"):

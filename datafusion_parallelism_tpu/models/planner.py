@@ -125,6 +125,7 @@ class Relation:
         self.plan = plan
         self.user_cols = user_cols
         self.est_rows = est_rows
+        self.reg = None  # RegisteredTable for scan-backed relations (ndv)
 
     def qualified(self, col: str) -> str:
         return f"{self.label}.{col}"
@@ -364,8 +365,10 @@ class Planner:
         schema = Schema([f.with_name(f"{label}.{f.name}")
                          for f in reg.host.schema.fields])
         plan = PScan(tref.name, label, schema)
-        return Relation(label, plan, list(reg.host.schema.names),
-                        float(reg.statistics.row_count))
+        rel = Relation(label, plan, list(reg.host.schema.names),
+                       float(reg.statistics.row_count))
+        rel.reg = reg
+        return rel
 
     def _plan_from_where(self, stmt: SelectStmt, outer: Optional[Scope]):
         if not stmt.from_tables:
@@ -446,29 +449,65 @@ class Planner:
 
     # -- join ordering over the comma-list ------------------------------------
     def _order_joins(self, pool: List[Relation], edges, scope) -> Relation:
+        """Greedy join ordering by estimated OUTPUT cardinality:
+        |A join B| ~= |A|*|B| / prod_k max(ndv_A(k), ndv_B(k)), with real
+        distinct counts from the catalog for scan columns. Picking the next
+        relation by smallest INPUT (the previous heuristic) walked straight
+        into many-to-many edges — TPC-H Q5 joined supplier x customer on
+        nationkey (ndv 25) producing a 33.5M-row intermediate at SF1."""
         if len(pool) == 1:
             return pool[0]
         remaining = list(pool)
+        edges = list(edges)
+
+        def ndv_of(rel: Relation, qcol: str) -> float:
+            if rel.reg is not None:
+                base = qcol.split(".", 1)[1]
+                if base in rel.reg.host.columns:
+                    d = float(rel.reg.distinct_of(base))
+                    return max(1.0, min(d, rel.est_rows))
+            return max(1.0, rel.est_rows)  # unknown: assume unique keys
+
+        def add_edge_ndv(ndv, rel):
+            for (a, ac, b, bc) in edges:
+                for er, c in ((a, ac), (b, bc)):
+                    if er.label == rel.label:
+                        q = er.qualified(c)
+                        if q not in ndv:
+                            ndv[q] = ndv_of(rel, q)
+
         # start from the smallest estimated relation
         remaining.sort(key=lambda r: r.est_rows)
         current = remaining.pop(0)
         joined_labels = {current.label}
-        edges = list(edges)
+        ndv: Dict[str, float] = {}  # joined set's distinct estimates
+        add_edge_ndv(ndv, current)
         while remaining:
-            # candidate relations connected to the joined set
-            best = None
+            best = None  # (est_out, input_rows, r, pairs)
             for r in remaining:
                 pairs = [(a, ac, b, bc) for (a, ac, b, bc) in edges
                          if (a.label in joined_labels and b.label == r.label)
                          or (b.label in joined_labels and a.label == r.label)]
-                if pairs:
-                    if best is None or r.est_rows < best[0].est_rows:
-                        best = (r, pairs)
+                if not pairs:
+                    continue
+                sel = 1.0
+                for (a, ac, b, bc) in pairs:
+                    if a.label == r.label:
+                        rq, cq = a.qualified(ac), b.qualified(bc)
+                    else:
+                        rq, cq = b.qualified(bc), a.qualified(ac)
+                    dr = ndv_of(r, rq)
+                    dc = min(ndv.get(cq, current.est_rows), current.est_rows)
+                    sel /= max(dr, dc, 1.0)
+                est_out = max(1.0, current.est_rows * r.est_rows * sel)
+                key = (est_out, r.est_rows)
+                if best is None or key < best[:2]:
+                    best = (est_out, r.est_rows, r, pairs)
             if best is None:
                 raise PlanError(
                     "cross join required but not supported (no equi predicate "
                     f"connecting {[r.label for r in remaining]})")
-            r, pairs = best
+            est_out, _, r, pairs = best
             remaining.remove(r)
             cur_keys, new_keys = [], []
             for (a, ac, b, bc) in pairs:
@@ -481,7 +520,9 @@ class Planner:
                 edges.remove((a, ac, b, bc))
             current = self._make_join(current, r, cur_keys, new_keys,
                                       JoinType.INNER, None)
+            current.est_rows = est_out
             joined_labels.add(r.label)
+            add_edge_ndv(ndv, r)
         return current
 
     def _apply_explicit_join(self, left: Relation, jc, right: Relation,

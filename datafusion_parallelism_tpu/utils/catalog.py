@@ -25,6 +25,19 @@ class RegisteredTable:
         self.statistics = statistics or Statistics(row_count=host.num_rows)
         self._device: Optional[DeviceTable] = None
 
+    def distinct_of(self, col: str) -> int:
+        """Distinct count for a column; computed once (np.unique over the
+        host data) unless the registration supplied it. Join ordering keys
+        off this (reference steers its planner with exact synthetic
+        Statistics the same way, static_table.rs:45-140)."""
+        d = self.statistics.distinct.get(col)
+        if d is None:
+            import numpy as np
+            vals, valid = self.host.columns[col]
+            d = max(int(np.unique(vals[valid]).size), 1)
+            self.statistics.distinct[col] = d
+        return d
+
     def device(self) -> DeviceTable:
         if self._device is None:
             self._device = self.host.to_device()
