@@ -457,7 +457,6 @@ class Planner:
         nationkey (ndv 25) producing a 33.5M-row intermediate at SF1."""
         if len(pool) == 1:
             return pool[0]
-        remaining = list(pool)
         edges = list(edges)
 
         def ndv_of(rel: Relation, qcol: str) -> float:
@@ -468,6 +467,23 @@ class Planner:
                     return max(1.0, min(d, rel.est_rows))
             return max(1.0, rel.est_rows)  # unknown: assume unique keys
 
+        def comp_ndv(rel: Relation, qcols) -> float:
+            """Composite distinct estimate for several key columns on one
+            relation. Real hash-combined count when the data is at hand —
+            per-key independence underestimates FK composites by orders of
+            magnitude (partsupp x lineitem on (suppkey, partkey))."""
+            if len(qcols) == 1:
+                return ndv_of(rel, qcols[0])
+            if rel.reg is not None:
+                bases = tuple(q.split(".", 1)[1] for q in qcols)
+                if all(b in rel.reg.host.columns for b in bases):
+                    d = float(rel.reg.distinct_of(bases))
+                    return max(1.0, min(d, rel.est_rows))
+            prod = 1.0
+            for q in qcols:
+                prod *= ndv_of(rel, q)
+            return max(1.0, min(prod, rel.est_rows))
+
         def add_edge_ndv(ndv, rel):
             for (a, ac, b, bc) in edges:
                 for er, c in ((a, ac), (b, bc)):
@@ -476,39 +492,91 @@ class Planner:
                         if q not in ndv:
                             ndv[q] = ndv_of(rel, q)
 
-        # start from the smallest estimated relation
-        remaining.sort(key=lambda r: r.est_rows)
-        current = remaining.pop(0)
-        joined_labels = {current.label}
-        ndv: Dict[str, float] = {}  # joined set's distinct estimates
-        add_edge_ndv(ndv, current)
-        while remaining:
-            best = None  # (est_out, input_rows, r, pairs)
-            for r in remaining:
-                pairs = [(a, ac, b, bc) for (a, ac, b, bc) in edges
-                         if (a.label in joined_labels and b.label == r.label)
-                         or (b.label in joined_labels and a.label == r.label)]
-                if not pairs:
-                    continue
-                sel = 1.0
-                for (a, ac, b, bc) in pairs:
-                    if a.label == r.label:
-                        rq, cq = a.qualified(ac), b.qualified(bc)
+        by_label = {r.label: r for r in pool}
+
+        def simulate(seed: Relation):
+            """Greedy from this seed; returns (sum of intermediate rows,
+            [(relation, pairs, est_out), ...]) or None if disconnected.
+            The seed matters: smallest-relation seeding locked TPC-H Q9 into
+            nation->supplier->LINEITEM(6M, unfiltered) because partsupp/part
+            only connect through lineitem."""
+            remaining = [r for r in pool if r is not seed]
+            eds = list(edges)
+            cur_est = seed.est_rows
+            joined = {seed.label}
+            ndv: Dict[str, float] = {}
+            add_edge_ndv(ndv, seed)
+            seq, total = [], 0.0
+            while remaining:
+                best = None
+                for r in remaining:
+                    pairs = [(a, ac, b, bc) for (a, ac, b, bc) in eds
+                             if (a.label in joined and b.label == r.label)
+                             or (b.label in joined and a.label == r.label)]
+                    if not pairs:
+                        continue
+                    r_cols, c_cols = [], []
+                    for (a, ac, b, bc) in pairs:
+                        if a.label == r.label:
+                            r_cols.append(a.qualified(ac))
+                            c_cols.append(b.qualified(bc))
+                        else:
+                            r_cols.append(b.qualified(bc))
+                            c_cols.append(a.qualified(ac))
+                    dr = comp_ndv(r, r_cols)
+                    # current-side composite: use the real pair count when
+                    # every key column comes from one scan-backed relation
+                    # already in the set (the per-column product claimed 60k
+                    # distinct (l_suppkey, l_partkey) pairs where the data
+                    # has 8k, making huge-seed orders look free)
+                    c_labels = {q.split(".", 1)[0] for q in c_cols}
+                    src = by_label.get(next(iter(c_labels)))
+                    if len(c_labels) == 1 and src is not None:
+                        dc = min(comp_ndv(src, c_cols), cur_est)
                     else:
-                        rq, cq = b.qualified(bc), a.qualified(ac)
-                    dr = ndv_of(r, rq)
-                    dc = min(ndv.get(cq, current.est_rows), current.est_rows)
-                    sel /= max(dr, dc, 1.0)
-                est_out = max(1.0, current.est_rows * r.est_rows * sel)
-                key = (est_out, r.est_rows)
-                if best is None or key < best[:2]:
-                    best = (est_out, r.est_rows, r, pairs)
-            if best is None:
-                raise PlanError(
-                    "cross join required but not supported (no equi predicate "
-                    f"connecting {[r.label for r in remaining]})")
-            est_out, _, r, pairs = best
-            remaining.remove(r)
+                        dc = 1.0
+                        for cq in c_cols:
+                            dc *= min(ndv.get(cq, cur_est), cur_est)
+                        dc = min(dc, cur_est)
+                    dc = max(1.0, dc)
+                    sel = 1.0 / max(dr, dc, 1.0)
+                    est_out = max(1.0, cur_est * r.est_rows * sel)
+                    key = (est_out, r.est_rows, r.label)
+                    if best is None or key < best[0]:
+                        best = (key, r, pairs)
+                if best is None:
+                    return None
+                (est_out, _, _), r, pairs = best
+                remaining.remove(r)
+                for p in pairs:
+                    eds.remove(p)
+                seq.append((r, pairs, est_out))
+                total += est_out
+                cur_est = est_out
+                joined.add(r.label)
+                add_edge_ndv(ndv, r)
+            return total, seq
+
+        # try every seed; keep the order with the smallest total
+        # intermediate-row count (C_out). Pools are small (<=10 relations).
+        import os
+        debug = os.environ.get("DFP_DEBUG_JOIN_ORDER")
+        best_sim = None
+        for seed in sorted(pool, key=lambda r: (r.est_rows, r.label)):
+            sim = simulate(seed)
+            if debug and sim is not None:
+                chain = " -> ".join(f"{r.label}({e:.0f})" for r, _, e in sim[1])
+                print(f"join-order seed={seed.label}({seed.est_rows:.0f}) "
+                      f"total={sim[0]:.0f}: {chain}")
+            if sim is not None and (best_sim is None or sim[0] < best_sim[1]):
+                best_sim = (seed, sim[0], sim[1])
+        if best_sim is None:
+            raise PlanError(
+                "cross join required but not supported (no equi predicate "
+                f"connecting {[r.label for r in pool]})")
+        current, _, seq = best_sim
+        joined_labels = {current.label}
+        for r, pairs, est_out in seq:
             cur_keys, new_keys = [], []
             for (a, ac, b, bc) in pairs:
                 if a.label in joined_labels:
@@ -517,12 +585,10 @@ class Planner:
                 else:
                     cur_keys.append(b.qualified(bc))
                     new_keys.append(a.qualified(ac))
-                edges.remove((a, ac, b, bc))
             current = self._make_join(current, r, cur_keys, new_keys,
                                       JoinType.INNER, None)
             current.est_rows = est_out
             joined_labels.add(r.label)
-            add_edge_ndv(ndv, r)
         return current
 
     def _apply_explicit_join(self, left: Relation, jc, right: Relation,

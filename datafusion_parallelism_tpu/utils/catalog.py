@@ -25,17 +25,35 @@ class RegisteredTable:
         self.statistics = statistics or Statistics(row_count=host.num_rows)
         self._device: Optional[DeviceTable] = None
 
-    def distinct_of(self, col: str) -> int:
-        """Distinct count for a column; computed once (np.unique over the
-        host data) unless the registration supplied it. Join ordering keys
-        off this (reference steers its planner with exact synthetic
-        Statistics the same way, static_table.rs:45-140)."""
-        d = self.statistics.distinct.get(col)
+    def distinct_of(self, col) -> int:
+        """Distinct count for a column or a TUPLE of columns (composite join
+        keys); computed once (np.unique over the host data) unless the
+        registration supplied it. Join ordering keys off this (reference
+        steers its planner with exact synthetic Statistics the same way,
+        static_table.rs:45-140). Composite counts hash-combine the columns —
+        an estimate, not exact — because per-key independence is wildly
+        wrong for FK pairs (TPC-H lineitem (l_partkey, l_suppkey) has ~800k
+        distinct pairs, not 200k*10k)."""
+        key = col if isinstance(col, str) else "\x00".join(col)
+        d = self.statistics.distinct.get(key)
         if d is None:
             import numpy as np
-            vals, valid = self.host.columns[col]
-            d = max(int(np.unique(vals[valid]).size), 1)
-            self.statistics.distinct[col] = d
+            cols = (col,) if isinstance(col, str) else col
+            h, mask = None, None
+            for c in cols:
+                vals, valid = self.host.columns[c]
+                v = np.asarray(vals)
+                if v.dtype.kind == "f":
+                    v = v.view(np.uint64 if v.itemsize == 8 else np.uint32)
+                v = v.astype(np.uint64)
+                # polynomial rolling hash (h*M + v): XOR-combining collides
+                # massively for small-int key pairs (reported 782 distinct
+                # of partsupp's 8000 true pairs)
+                m = np.uint64(0x9E3779B97F4A7C15)
+                h = v * m if h is None else h * m + v
+                mask = valid if mask is None else (mask & valid)
+            d = max(int(np.unique(h[mask]).size), 1)
+            self.statistics.distinct[key] = d
         return d
 
     def device(self) -> DeviceTable:
