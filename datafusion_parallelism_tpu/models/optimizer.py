@@ -95,7 +95,7 @@ class PruneColumnsRule:
             probe = self._prune(node.probe, preq)
             out = PHashJoin(build, probe, node.build_keys, node.probe_keys,
                             node.join_type, node.strategy, node.residual,
-                            node.dist_mode)
+                            node.dist_mode, node.est_rows)
             out.join_id = node.join_id  # executor capacities key on this
             out.__post_init__()
             return self._project_to(out, required)

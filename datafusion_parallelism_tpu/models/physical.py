@@ -24,6 +24,7 @@ from ..ops.filter import filter_table
 from ..ops.hash_table import JoinStrategy
 from ..ops.join import JoinType, hash_join, join_output_schema
 from ..ops.project import project_table
+from ..utils.columnar import round_capacity
 from ..ops.sort import SortKey, limit_table, sort_table
 from ..utils.columnar import DeviceTable, Field, Schema
 
@@ -150,6 +151,9 @@ class PHashJoin(PhysicalPlan):
     # distributed execution mode: partitioned | broadcast | skew_salted
     # (set by the optimizer from statistics; single-chip execution ignores it)
     dist_mode: str = "partitioned"
+    # planner's output-cardinality estimate; seeds the initial capacity so
+    # big scale factors don't pay an overflow-retry recompile per join
+    est_rows: float = 0.0
     join_id: int = field(default_factory=lambda: _JOIN_ID.__setitem__(0, _JOIN_ID[0] + 1) or _JOIN_ID[0])
     schema: Schema = None
 
@@ -172,10 +176,17 @@ class PHashJoin(PhysicalPlan):
         p = self.probe.execute(tables, ctx)
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
-            # ~1 match per probe row is the common FK-join shape; overflow
-            # retry grows it, shrink-on-overshoot trims it — and the FIRST
-            # run must fit in HBM (SF1 Q5 OOMs at 2x)
-            cap = max(256, b.capacity, p.capacity)
+            if self.est_rows > 0:
+                # planner cardinality estimate, clamped: a wild overestimate
+                # must not out-allocate the inputs by more than 4x (HBM), a
+                # wild underestimate still gets the overflow retry
+                cap = min(round_capacity(int(self.est_rows), minimum=1024),
+                          4 * max(256, b.capacity, p.capacity))
+            else:
+                # ~1 match per probe row is the common FK-join shape;
+                # overflow retry grows it, shrink-on-overshoot trims it —
+                # and the FIRST run must fit in HBM (SF1 Q5 OOMs at 2x)
+                cap = max(256, b.capacity, p.capacity)
             ctx.join_caps[self.join_id] = cap
         residual_fn = None
         if self.residual is not None:

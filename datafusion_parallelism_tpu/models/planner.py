@@ -588,6 +588,7 @@ class Planner:
             current = self._make_join(current, r, cur_keys, new_keys,
                                       JoinType.INNER, None)
             current.est_rows = est_out
+            current.plan.est_rows = est_out  # seeds the initial capacity
             joined_labels.add(r.label)
         return current
 
@@ -650,6 +651,7 @@ class Planner:
                          residual=res_expr)
         out = Relation(f"join{id(join) % 10000}", join, [], 0.0)
         out.est_rows = max(build.est_rows, probe.est_rows)
+        join.est_rows = out.est_rows
         out.user_cols = []
         return out
 
