@@ -72,3 +72,18 @@ def test_config_file(tmp_path):
     p.write_text("not_a_key=1\n")
     with pytest.raises(KeyError):
         apply_config_file(cfg, str(p))
+
+
+def test_generate_cli_roundtrip(tmp_path):
+    """generate CLI -> --data-path load -> oracle check, both formats."""
+    from datafusion_parallelism_tpu.tpch.generate import run as gen
+    out_pq = str(tmp_path / "pq")
+    gen(["--scale-factor", "0.001", "--output", out_pq])
+    res = run(["--data-path", out_pq, "--query", "1",
+               "--iterations", "1", "--check"])
+    assert res["checked"][1] is True
+    out_tbl = str(tmp_path / "tbl")
+    gen(["--scale-factor", "0.001", "--output", out_tbl, "--format", "tbl",
+         "--tables", "region", "nation"])
+    import os
+    assert os.path.exists(os.path.join(out_tbl, "region.tbl"))
