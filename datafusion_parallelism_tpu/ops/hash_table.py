@@ -43,20 +43,20 @@ class JoinStrategy(enum.Enum):
 class JoinTable(NamedTuple):
     """Frozen build-side lookup structure (a pytree).
 
-    kind_csr:  offsets[T+2] bucket starts into perm; bucket T holds rows with
-               null keys / padding so valid buckets never see them.
-               start_count[T+1] packs (start << 32 | count) per bucket and
-               perm_hash[cap] packs (row hash << 32 | perm row id) — gathers
-               on TPU cost per index, so probe-side lookups fetch both halves
-               of each pair in ONE gather.
+    kind_csr:  start_count[T+1] packs (bucket start << 32 | count) into perm
+               order — the probe fetches both halves of a bucket descriptor
+               in ONE gather (gathers on TPU cost per index, not per byte).
+               Bucket T holds rows with null keys / padding so valid buckets
+               never see them. offsets[T+2] kept for inspection/benches.
+               Hash equality is NOT rechecked at probe time: the join
+               re-checks keys by VALUE anyway (hash_join's equal_rows_arr
+               analog), so bucket-collision candidates just fail there.
     kind_sort: sorted_hash[cap] + perm; offsets is unused (size 1).
     """
     offsets: jnp.ndarray      # int32; size-1 dummy under SORT
     perm: jnp.ndarray         # int32[cap] row ids in bucket/sorted order
-    hashes: jnp.ndarray       # uint32[cap] per original row
     sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) or size-1 dummy (CSR)
     start_count: jnp.ndarray  # int64[T+1] (CSR) or size-1 dummy
-    perm_hash: jnp.ndarray    # int64[cap] (CSR) or size-1 dummy
 
     @property
     def is_sort(self) -> bool:
@@ -82,10 +82,7 @@ def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTabl
     perm = jnp.argsort(slot, stable=True).astype(jnp.int32)
     start_count = ((offsets[:-1].astype(jnp.int64) << jnp.int64(32))
                    | counts.astype(jnp.uint32).astype(jnp.int64))
-    perm_hash = ((jnp.take(hashes, perm).astype(jnp.int64) << jnp.int64(32))
-                 | perm.astype(jnp.uint32).astype(jnp.int64))
-    return JoinTable(offsets, perm, hashes, jnp.zeros((1,), jnp.int64),
-                     start_count, perm_hash)
+    return JoinTable(offsets, perm, jnp.zeros((1,), jnp.int64), start_count)
 
 
 def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
@@ -97,9 +94,8 @@ def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinT
     key = jnp.where(ok, hashes.astype(jnp.int64), jnp.int64(1) << 33)
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     sorted_key = jnp.take(key, perm)
-    dummy = jnp.zeros((1,), jnp.int64)
-    return JoinTable(jnp.zeros((1,), jnp.int32), perm, hashes, sorted_key,
-                     dummy, dummy)
+    return JoinTable(jnp.zeros((1,), jnp.int32), perm, sorted_key,
+                     jnp.zeros((1,), jnp.int64))
 
 
 def build_join_table(hashes, key_valid, num_rows,
@@ -143,42 +139,40 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
 
 
 def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
-                      probe_hashes: jnp.ndarray, out_cap: int) -> Candidates:
+                      out_cap: int) -> Candidates:
     """Expansion of variable-length candidate ranges into a flat list.
 
-    scatter + cummax, O(out_cap): each probe row with matches scatters its id
-    at its first output slot, a prefix max fills the gaps. Per-probe-row
-    state (start, base, hash) rides ONE packed row-gather; the build row id
-    and its hash ride one packed int64 gather."""
+    scatter + cummax, O(out_cap): each probe row with matches scatters ONE
+    packed int64 (probe row id << 32 | biased start-base) at its first
+    output slot; a prefix max fills the gaps — valid because the high word
+    strictly increases across segments and is constant within one. Both the
+    probe row id AND the perm position then come straight out of the filled
+    word: the only gather left in the whole expansion is perm[pos]."""
     import jax.lax
     cum = jnp.cumsum(count, dtype=jnp.int32)
     total = cum[-1]
     base_per_row = cum - count                      # first output slot per row
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    marker = (jnp.zeros((out_cap,), jnp.int32)
+    m = count.shape[0]
+    # low word: start - base + BIAS, biased nonnegative so packed ordering
+    # follows the high word (start-base can be negative)
+    bias = out_cap
+    packed = ((jnp.arange(m, dtype=jnp.int64) << jnp.int64(32))
+              | (start - base_per_row + bias).astype(jnp.int64))
+    marker = (jnp.zeros((out_cap,), jnp.int64)
               .at[jnp.where(count > 0, base_per_row, out_cap)]
-              .max(jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop"))
-    probe_idx = jax.lax.cummax(marker)
-    # one row-gather for all per-probe-row values ([3, cap] layout: a minor
-    # dim < 128 would pad to 128 lanes — 42x memory)
-    probe_state = jnp.stack(
-        [start, base_per_row, probe_hashes.view(jnp.int32)], axis=0)
-    gstate = jnp.take(probe_state, probe_idx, axis=1, mode="clip")
-    pos = gstate[0, :] + (j - gstate[1, :])
+              .max(packed, mode="drop"))
+    filled = jax.lax.cummax(marker)
+    probe_idx = (filled >> jnp.int64(32)).astype(jnp.int32)
+    pos = (jnp.bitwise_and(filled, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+           - bias) + j
     cand = j < total
-    if table.is_sort:
-        build_idx = jnp.take(table.perm, pos, mode="clip")
-        hash_eq = jnp.ones_like(cand)  # equal by construction of the range
-    else:
-        ph = jnp.take(table.perm_hash, pos, mode="clip")
-        build_idx = jnp.bitwise_and(ph, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-        bhash = (ph >> jnp.int64(32)).astype(jnp.uint32)
-        hash_eq = bhash == gstate[2, :].view(jnp.uint32)
-    return Candidates(probe_idx, build_idx, cand & hash_eq, total)
+    build_idx = jnp.take(table.perm, pos, mode="clip")
+    return Candidates(probe_idx, build_idx, cand, total)
 
 
 def probe_candidates(table: JoinTable, probe_hashes, probe_key_valid,
                      probe_num_rows, out_cap: int) -> Candidates:
     start, count = probe_ranges(table, probe_hashes, probe_key_valid,
                                 probe_num_rows)
-    return expand_candidates(table, start, count, probe_hashes, out_cap)
+    return expand_candidates(table, start, count, out_cap)
