@@ -106,7 +106,8 @@ class PruneColumnsRule:
                 if a.input:
                     child_req.add(a.input)
             child = self._prune(node.child, child_req)
-            out = PAggregate(child, node.group_keys, node.aggs)
+            out = PAggregate(child, node.group_keys, node.aggs,
+                             node.est_groups)
             out.node_id = node.node_id
             return out
 

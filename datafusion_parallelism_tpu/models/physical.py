@@ -204,6 +204,8 @@ class PAggregate(PhysicalPlan):
     child: PhysicalPlan
     group_keys: List[str]
     aggs: List[AggSpec]
+    # planner's group-count estimate (catalog distinct counts); 0 = unknown
+    est_groups: float = 0.0
     node_id: int = field(default_factory=lambda: _next_node_id())
     schema: Schema = None
 
@@ -245,7 +247,13 @@ class PAggregate(PhysicalPlan):
             child = self.child.execute(tables, ctx)
         cap = ctx.join_caps.get(self.node_id)
         if cap is None:
-            cap = min(child.capacity, max(1024, child.capacity // 4))
+            if self.est_groups > 0:
+                # 2x headroom over the catalog estimate (filters upstream
+                # only SHRINK group counts; overflow retry covers the rest)
+                cap = max(128, min(round_capacity(int(2 * self.est_groups)),
+                                   child.capacity))
+            else:
+                cap = min(child.capacity, max(1024, child.capacity // 4))
             ctx.join_caps[self.node_id] = cap
         out, total = hash_aggregate_counted(child, self.group_keys, self.aggs,
                                             cap, row_filter)

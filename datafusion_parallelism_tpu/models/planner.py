@@ -1118,10 +1118,26 @@ class Planner:
 
         if pre_exprs:
             plan = PProject(plan, pre_exprs, pre_fields)
+        # group-count estimate from catalog distinct counts (seeds the
+        # aggregate's initial capacity; unresolvable exprs fall back to 0)
+        est_groups = 1.0
+        for g in stmt.group_by:
+            d = 0.0
+            if isinstance(g, EIdent):
+                try:
+                    rel, col, _ = scope.resolve(g.parts)
+                    if rel.reg is not None and col in rel.reg.host.columns:
+                        d = float(rel.reg.distinct_of(col))
+                except Exception:
+                    d = 0.0
+            if d <= 0:
+                est_groups = 0.0
+                break
+            est_groups *= d
         # (a bare count(*) has no inputs: aggregate the child directly — an
         # empty projection would produce a zero-column, zero-capacity table)
         plan = PAggregate(plan, [n for _, n in pre_exprs if n.startswith("__g")],
-                          aggs)
+                          aggs, est_groups=est_groups)
         post_map = {"group": group_map, "agg": agg_map}
         if stmt.having is not None:
             plan = PFilter(plan, self._lower_post_agg(stmt.having, plan.schema,
