@@ -19,10 +19,14 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-SEED = jnp.uint32(0x9747B28C)
+# numpy scalars, NOT jnp: a module-level jnp constant materializes on a
+# device at import time, which initializes the XLA backend and breaks
+# jax.distributed.initialize for multi-process runs
+SEED = np.uint32(0x9747B28C)
 # hash value reserved for NULL keys; equality recheck keeps nulls from matching
-NULL_HASH = jnp.uint32(0xDEADBEEF)
+NULL_HASH = np.uint32(0xDEADBEEF)
 
 
 def _fmix32(h: jnp.ndarray) -> jnp.ndarray:

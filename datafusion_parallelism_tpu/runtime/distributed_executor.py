@@ -197,6 +197,15 @@ class DistributedQueryHandle(QueryHandle):
             keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
         plan, axis = self.plan, self.axis
 
+        # multi-process SPMD (true multi-host): every process holds the full
+        # host tables and materializes only its mesh slice; outputs come
+        # back via a cross-process allgather (parallel/multihost.py)
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            from ..parallel.multihost import allgather_tree, globalize_tree
+            leaf_cols = globalize_tree(leaf_cols, self.mesh, axis)
+            leaf_rows = globalize_tree(leaf_rows, self.mesh, axis)
+
         while True:
             caps = dict(self._caps)
 
@@ -221,6 +230,9 @@ class DistributedQueryHandle(QueryHandle):
             self.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
             ocols, onum, totals = compiled(leaf_cols, leaf_rows)
+            if multiproc:
+                ocols = allgather_tree(ocols)
+                onum = allgather_tree(onum)
             totals = [int(t) for t in totals]  # host fetch = true sync
             self.metrics.run_time_s += time.time() - t0
 
