@@ -649,4 +649,75 @@ def _q9_np(t, li=None):
     return _sorted_limit(out, lambda r: (r["nation"], -r["o_year"]))
 
 
-_FAST = {1: _q1_np, 5: _q5_np, 9: _q9_np}
+def _q3_np(t, li=None):
+    import numpy as np
+    cus, orde, l = t["customer"], t["orders"], t["lineitem"]
+    cut = _d("1995-03-15")
+    bldg = _col(cus, "c_mktsegment") == _dict_of(
+        cus, "c_mktsegment").code_of("BUILDING")
+    ck = _col(cus, "c_custkey")
+    cust_bldg = np.zeros(int(ck.max()) + 1, np.bool_)
+    cust_bldg[ck[bldg]] = True
+    od, okey = _col(orde, "o_orderdate"), _col(orde, "o_orderkey")
+    om = (od < cut) & cust_bldg[_col(orde, "o_custkey")]
+    ord_date = np.full(int(okey.max()) + 1, -1, np.int64)
+    ord_date[okey[om]] = od[om]
+    ord_prio = np.zeros(int(okey.max()) + 1, np.int64)
+    ord_prio[okey[om]] = _col(orde, "o_shippriority")[om]
+
+    lok = _col(l, "l_orderkey")
+    m = (ord_date[lok] >= 0) & (_col(l, "l_shipdate") > cut)
+    rev = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    lok = lok[m]
+    uniq, inv = np.unique(lok, return_inverse=True)
+    sums = np.bincount(inv, weights=rev, minlength=len(uniq))
+    out = [{"l_orderkey": int(k), "revenue": float(v),
+            "o_orderdate": int(ord_date[int(k)]),
+            "o_shippriority": int(ord_prio[int(k)])}
+           for k, v in zip(uniq, sums)]
+    return _sorted_limit(out, lambda r: (-r["revenue"], r["o_orderdate"]), 10)
+
+
+def _q6_np(t, li=None):
+    import numpy as np
+    l = t["lineitem"]
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    ship = _col(l, "l_shipdate")
+    disc = _dec(l, "l_discount")
+    m = ((ship >= lo) & (ship < hi) & (disc >= 0.05) & (disc <= 0.07)
+         & (_dec(l, "l_quantity") < 24))
+    rev = float(np.sum((_dec(l, "l_extendedprice") * disc)[m]))
+    return [{"revenue": rev if rev else None}]
+
+
+def _q12_np(t, li=None):
+    import numpy as np
+    orde, l = t["orders"], t["lineitem"]
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    okey = _col(orde, "o_orderkey")
+    pd_ = _dict_of(orde, "o_orderpriority")
+    high_codes = {pd_.code_of("1-URGENT"), pd_.code_of("2-HIGH")}
+    is_high = np.isin(_col(orde, "o_orderpriority"),
+                      np.array(sorted(high_codes)))
+    ord_high = np.zeros(int(okey.max()) + 1, np.bool_)
+    ord_high[okey] = is_high
+    sm = _col(l, "l_shipmode")
+    smd = _dict_of(l, "l_shipmode")
+    rec = _col(l, "l_receiptdate")
+    m = (np.isin(sm, np.array(sorted({smd.code_of("MAIL"),
+                                      smd.code_of("SHIP")})))
+         & (_col(l, "l_commitdate") < rec)
+         & (_col(l, "l_shipdate") < _col(l, "l_commitdate"))
+         & (rec >= lo) & (rec < hi))
+    high = ord_high[_col(l, "l_orderkey")[m]]
+    codes = sm[m]
+    out = []
+    for c in sorted(set(codes.tolist())):
+        cm = codes == c
+        out.append({"l_shipmode": smd.values[c],
+                    "high_line_count": int(np.sum(cm & high)),
+                    "low_line_count": int(np.sum(cm & ~high))})
+    return _sorted_limit(out, lambda r: r["l_shipmode"])
+
+
+_FAST = {1: _q1_np, 3: _q3_np, 5: _q5_np, 6: _q6_np, 9: _q9_np, 12: _q12_np}
