@@ -110,10 +110,27 @@ class QueryHandle:
 
     # -- inputs ---------------------------------------------------------------
     def _leaf_tables(self) -> Dict[str, DeviceTable]:
+        """Upload each scan's LIVE columns only: the resident HBM set is what
+        OOMs big scale factors (SF10 lineitem is ~6 GB full-width, ~2.5 GB at
+        Q9's seven live columns). Narrowed uploads are cached per column-set
+        on the registration so repeat runs don't re-transfer."""
+        from ..models.optimizer import required_leaf_columns
+        live = required_leaf_columns(self.plan)
+        # one upload per TABLE: the union over its labels (self-joins), so
+        # the per-table subset cache never thrashes within a query
+        per_table: Dict[str, set] = {}
+        for node in self.plan.walk():
+            if isinstance(node, PScan):
+                per_table.setdefault(node.table_name, set()).update(
+                    live.get(node.label) or set())
         tables = {}
         for node in self.plan.walk():
             if isinstance(node, PScan) and node.label not in tables:
-                dev = self.catalog.get(node.table_name).device()
+                reg = self.catalog.get(node.table_name)
+                cols = per_table[node.table_name] & set(reg.host.schema.names)
+                if not cols:
+                    cols = {reg.host.schema.names[0]}
+                dev = reg.device_subset(frozenset(cols))
                 tables[node.label] = dev.rename(
                     {c: f"{node.label}.{c}" for c in dev.schema.names})
         return tables

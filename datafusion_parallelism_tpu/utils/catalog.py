@@ -61,6 +61,28 @@ class RegisteredTable:
             self._device = self.host.to_device()
         return self._device
 
+    def device_subset(self, cols: frozenset) -> DeviceTable:
+        """Device table holding only `cols` (HBM residency = live columns).
+        Cached per column-set; a full-width device() upload is reused."""
+        if frozenset(self.host.schema.names) <= cols or \
+                self._device is not None:
+            return self.device()
+        if not hasattr(self, "_device_subsets"):
+            self._device_subsets: Dict[frozenset, DeviceTable] = {}
+        cached = self._device_subsets.get(cols)
+        if cached is None:
+            # evict other layouts: stale subsets from earlier queries would
+            # pin HBM (queries run sequentially; re-upload costs far less)
+            self._device_subsets.clear()
+            from .columnar import HostTable, Schema
+            sub = HostTable(
+                Schema([f for f in self.host.schema.fields if f.name in cols]),
+                {n: v for n, v in self.host.columns.items() if n in cols},
+                self.host.num_rows)
+            cached = sub.to_device()
+            self._device_subsets[cols] = cached
+        return cached
+
 
 class Catalog:
     def __init__(self):
