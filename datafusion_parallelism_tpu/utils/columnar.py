@@ -462,11 +462,28 @@ class PackedTable(NamedTuple):
     f64s: Dict[str, jnp.ndarray]              # name -> float64[cap]
     layout: PackedLayout
 
+    # XLA materializes a row-gather's temp at one (8,128) tile row per INDEX
+    # (~512 B/idx regardless of W): a 33.5M-index gather wants 16 GB of HBM
+    # for 384 MB of payload. Chunking through lax.map bounds the temp.
+    _GATHER_CHUNK = 1 << 21  # 2M indices -> ~1 GB temp per chunk
+
     def take_rows(self, indices: jnp.ndarray) -> "PackedTable":
         """Gather rows: one minor-axis gather + one per float64 column."""
+        n = indices.shape[0]
+        if n > self._GATHER_CHUNK and n % self._GATHER_CHUNK == 0:
+            chunks = indices.reshape(n // self._GATHER_CHUNK,
+                                     self._GATHER_CHUNK)
+            out = jax.lax.map(
+                lambda ix: jnp.take(self.packed, ix, axis=1, mode="clip"),
+                chunks)                     # [C, W, chunk]
+            packed = jnp.moveaxis(out, 0, 1).reshape(
+                self.packed.shape[0], n)
+        else:
+            packed = jnp.take(self.packed, indices, axis=1, mode="clip")
         return PackedTable(
-            jnp.take(self.packed, indices, axis=1, mode="clip"),
-            {n: jnp.take(v, indices, mode="clip") for n, v in self.f64s.items()},
+            packed,
+            {n_: jnp.take(v, indices, mode="clip")
+             for n_, v in self.f64s.items()},
             self.layout)
 
 
