@@ -470,14 +470,20 @@ class PackedTable(NamedTuple):
     def take_rows(self, indices: jnp.ndarray) -> "PackedTable":
         """Gather rows: one minor-axis gather + one per float64 column."""
         n = indices.shape[0]
-        if n > self._GATHER_CHUNK and n % self._GATHER_CHUNK == 0:
-            chunks = indices.reshape(n // self._GATHER_CHUNK,
-                                     self._GATHER_CHUNK)
-            out = jax.lax.map(
-                lambda ix: jnp.take(self.packed, ix, axis=1, mode="clip"),
-                chunks)                     # [C, W, chunk]
-            packed = jnp.moveaxis(out, 0, 1).reshape(
-                self.packed.shape[0], n)
+        ch = self._GATHER_CHUNK
+        if n > ch and n % ch == 0:
+            # fori_loop + dynamic_update_slice, NOT lax.map: map's stacked
+            # [C, W, chunk] accumulator gets a W-minor layout and pays the
+            # same 42x tile padding this chunking exists to avoid
+            w = self.packed.shape[0]
+
+            def body(i, acc):
+                ix = jax.lax.dynamic_slice(indices, (i * ch,), (ch,))
+                part = jnp.take(self.packed, ix, axis=1, mode="clip")
+                return jax.lax.dynamic_update_slice(acc, part, (0, i * ch))
+
+            packed = jax.lax.fori_loop(
+                0, n // ch, body, jnp.zeros((w, n), self.packed.dtype))
         else:
             packed = jnp.take(self.packed, indices, axis=1, mode="clip")
         return PackedTable(
