@@ -104,20 +104,37 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     table = build_join_table(bh, bkv, build.num_rows, strategy)
     cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
 
-    # ONE packed row-gather per side fetches every column + validity of each
-    # candidate pair (gathers cost per index, not per byte — see pack_table)
-    bpacked = pack_table(build)
-    ppacked = pack_table(probe)
-    gb = bpacked.take_rows(cands.build_idx)
-    gp = ppacked.take_rows(cands.probe_idx)
-    gbt = unpack_table(gb, build.schema, out_cap)
-    gpt = unpack_table(gp, probe.schema, out_cap)
+    # Pair-emitting joins fetch full candidate rows — ONE packed row-gather
+    # per side covers every column + validity AND the key values for the
+    # recheck (gathers cost per index, not per byte — see pack_table).
+    # Semi/anti joins without a residual never materialize pair rows: they
+    # only need the match flags, so the recheck uses SCALAR per-key-column
+    # gathers and the row-gathers are skipped entirely (candidates have
+    # all-valid keys by construction — null-key build rows never enter a
+    # bucket / carry the sorted sentinel, null-key probe rows get count=0).
+    needs_pair_rows = (join_type in (JoinType.INNER, JoinType.LEFT,
+                                     JoinType.RIGHT, JoinType.FULL)
+                       or residual is not None)
+    if needs_pair_rows:
+        bpacked = pack_table(build)
+        ppacked = pack_table(probe)
+        gb = bpacked.take_rows(cands.build_idx)
+        gp = ppacked.take_rows(cands.probe_idx)
+        gbt = unpack_table(gb, build.schema, out_cap)
+        gpt = unpack_table(gp, probe.schema, out_cap)
 
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
     eq = cands.valid
     for bk, pk in zip(build_keys, probe_keys):
-        bv, gbv = gbt.column(bk)
-        pv, gpv = gpt.column(pk)
+        if needs_pair_rows:
+            bv, gbv = gbt.column(bk)
+            pv, gpv = gpt.column(pk)
+        else:
+            bcol, _ = build.column(bk)
+            pcol, _ = probe.column(pk)
+            bv = jnp.take(bcol, cands.build_idx, mode="clip")
+            pv = jnp.take(pcol, cands.probe_idx, mode="clip")
+            gbv = gpv = True
         if bv.dtype != pv.dtype:
             wide = jnp.promote_types(bv.dtype, pv.dtype)
             bv, pv = bv.astype(wide), pv.astype(wide)
