@@ -720,4 +720,51 @@ def _q12_np(t, li=None):
     return _sorted_limit(out, lambda r: r["l_shipmode"])
 
 
-_FAST = {1: _q1_np, 3: _q3_np, 5: _q5_np, 6: _q6_np, 9: _q9_np, 12: _q12_np}
+def _q21_np(t, li=None):
+    import numpy as np
+    orde, nat, sup, l = t["orders"], t["nation"], t["supplier"], t["lineitem"]
+
+    okey = _col(orde, "o_orderkey")
+    f_code = _dict_of(orde, "o_orderstatus").code_of("F")
+    ord_f = np.zeros(int(okey.max()) + 1, np.bool_)
+    ord_f[okey[_col(orde, "o_orderstatus") == f_code]] = True
+
+    nk = _col(nat, "n_nationkey")
+    saudi_code = _dict_of(nat, "n_name").code_of("SAUDI ARABIA")
+    saudi_nat = np.zeros(int(nk.max()) + 1, np.bool_)
+    saudi_nat[nk[_col(nat, "n_name") == saudi_code]] = True
+    sk = _col(sup, "s_suppkey")
+    supp_saudi = np.zeros(int(sk.max()) + 1, np.bool_)
+    supp_saudi[sk] = saudi_nat[_col(sup, "s_nationkey")]
+
+    lok = _col(l, "l_orderkey").astype(np.int64)
+    lsk = _col(l, "l_suppkey").astype(np.int64)
+    late = _col(l, "l_receiptdate") > _col(l, "l_commitdate")
+
+    # EXISTS(other supplier in order)     <=> order's distinct-supplier
+    #   count >= 2 (the row's own supplier is always in the set)
+    # NOT EXISTS(late other supplier)     <=> order's distinct LATE-supplier
+    #   count == 1 (the row itself is late, so its supplier is in the set)
+    S = int(lsk.max()) + 1
+    nord = int(lok.max()) + 1
+    pairs = np.unique(lok * S + lsk)
+    nsupp = np.bincount((pairs // S).astype(np.int64), minlength=nord)
+    pairs_late = np.unique(lok[late] * S + lsk[late])
+    nsupp_late = np.bincount((pairs_late // S).astype(np.int64),
+                             minlength=nord)
+
+    m = (late & ord_f[lok] & supp_saudi[lsk]
+         & (nsupp[lok] >= 2) & (nsupp_late[lok] == 1))
+    numwait = np.bincount(lsk[m], minlength=S)
+
+    sname = _dict_of(sup, "s_name")
+    name_code = np.zeros(S, np.int64)
+    name_code[sk] = _col(sup, "s_name")
+    out = [{"s_name": sname.values[int(name_code[k])],
+            "numwait": int(v)}
+           for k, v in enumerate(numwait) if v > 0]
+    return _sorted_limit(out, lambda r: (-r["numwait"], r["s_name"]), 100)
+
+
+_FAST = {1: _q1_np, 3: _q3_np, 5: _q5_np, 6: _q6_np, 9: _q9_np, 12: _q12_np,
+         21: _q21_np}
