@@ -59,10 +59,14 @@ class ExecContext:
     overflow retry), the overflow totals reported by each node, and — under
     staged execution — materialized join results from earlier launches."""
 
-    def __init__(self, join_caps: Dict[int, int], materialized=None):
+    def __init__(self, join_caps: Dict[int, int], materialized=None,
+                 prepared=None):
         self.join_caps = join_caps
         self.join_totals: Dict[int, jnp.ndarray] = {}
         self.materialized = materialized or {}
+        # join_id -> PreparedBuild: frozen build sides hoisted out of the
+        # per-chunk program by streaming execution
+        self.prepared = prepared or {}
 
 
 @dataclass
@@ -172,7 +176,9 @@ class PHashJoin(PhysicalPlan):
     def execute(self, tables, ctx):
         if self.join_id in ctx.materialized:   # staged execution boundary
             return ctx.materialized[self.join_id]
-        b = self.build.execute(tables, ctx)
+        prepared = ctx.prepared.get(self.join_id)
+        b = (prepared.build if prepared is not None
+             else self.build.execute(tables, ctx))
         p = self.probe.execute(tables, ctx)
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
@@ -194,7 +200,7 @@ class PHashJoin(PhysicalPlan):
             residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
         out, total = hash_join(b, p, self.build_keys, self.probe_keys,
                                self.join_type, cap, strategy=self.strategy,
-                               residual=residual_fn)
+                               residual=residual_fn, prepared=prepared)
         ctx.join_totals[self.join_id] = total
         return out
 
@@ -220,16 +226,15 @@ class PAggregate(PhysicalPlan):
         a = ", ".join(f"{x.func}({x.input or '*'})" for x in self.aggs)
         return f"Aggregate(group={self.group_keys}, aggs=[{a}])"
 
-    def execute(self, tables, ctx):
+    def fused_child(self, tables, ctx):
+        """(child, row_filter): aggregate over a filter (under any projection
+        chain) fuses the predicate as a row mask. A global aggregate then
+        needs no compaction at all, and a grouped one compacts implicitly
+        through its grouping sort — either way the filter's own row-gather
+        disappears. Projections are elementwise and row-aligned, so the mask
+        stays valid across them. (Streaming execution reuses this for the
+        per-chunk partial aggregate.)"""
         import jax.numpy as jnp
-        row_filter = None
-        child = None
-        # Aggregate over a filter (under any projection chain): fuse the
-        # predicate as a row mask. A global aggregate then needs no
-        # compaction at all, and a grouped one compacts implicitly through
-        # its grouping sort — either way the filter's own row-gather
-        # disappears. Projections are elementwise and row-aligned, so the
-        # mask stays valid across them.
         projs = []
         node = self.child
         while isinstance(node, PProject):
@@ -243,8 +248,11 @@ class PAggregate(PhysicalPlan):
             child = inner
             for p in reversed(projs):
                 child = project_table(child, p.exprs, p.out_fields)
-        if child is None:
-            child = self.child.execute(tables, ctx)
+            return child, row_filter
+        return self.child.execute(tables, ctx), None
+
+    def execute(self, tables, ctx):
+        child, row_filter = self.fused_child(tables, ctx)
         cap = ctx.join_caps.get(self.node_id)
         if cap is None:
             if self.est_groups > 0:

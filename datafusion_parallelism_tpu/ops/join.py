@@ -31,8 +31,11 @@ from ..utils.columnar import (DeviceTable, Schema, compaction_indices,
                               null_columns_like, concat_tables,
                               pack_table, unpack_table,
                               filter_rows as _filter_rows)
+from typing import NamedTuple
+
 from .hashing import hash_rows
-from .hash_table import (JoinStrategy, build_join_table, probe_candidates)
+from .hash_table import (JoinStrategy, JoinTable, build_join_table,
+                         probe_candidates)
 
 
 class JoinType(enum.Enum):
@@ -78,30 +81,54 @@ def _null_side(schema: Schema, capacity: int, num_rows) -> DeviceTable:
                        jnp.asarray(num_rows, jnp.int32))
 
 
+class PreparedBuild(NamedTuple):
+    """Frozen build side (a pytree): the lookup structure + the build rows.
+
+    The analog of the reference's compacted `IndexLookupProvider` handed from
+    build to probe (reference src/operator/lookup_consumers.rs:4-42): built
+    ONCE, probed by any number of streamed probe batches. Streaming execution
+    hoists these out of the per-chunk program so resident hash tables are not
+    rebuilt every chunk (reference inner.rs:48-75 probes a frozen map)."""
+    build: DeviceTable
+    table: JoinTable
+
+
+def prepare_build(build: DeviceTable, build_keys: List[str],
+                  strategy: JoinStrategy = JoinStrategy.CSR) -> PreparedBuild:
+    bh = hash_rows([build.column(k) for k in build_keys])
+    bkv = _keys_valid(build, build_keys)
+    return PreparedBuild(build, build_join_table(bh, bkv, build.num_rows,
+                                                 strategy))
+
+
 def hash_join(build: DeviceTable, probe: DeviceTable,
               build_keys: List[str], probe_keys: List[str],
               join_type: JoinType, out_cap: int,
               strategy: JoinStrategy = JoinStrategy.CSR,
               residual: Optional[Callable[[DeviceTable], Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+              prepared: Optional[PreparedBuild] = None,
               ) -> Tuple[DeviceTable, jnp.ndarray]:
     """Join two device tables. Fully jit-traceable, static shapes.
 
     residual: optional predicate over the candidate pair table returning
     (bool values, validity); NULL results reject the pair (SQL semantics).
+    prepared: pre-built (frozen) build side; `build` is ignored then.
 
     Returns (result, candidate_total). The caller must check
     candidate_total <= out_cap and retry with a larger out_cap otherwise.
     """
     assert len(build_keys) == len(probe_keys) >= 1
+    if prepared is not None:
+        build, table = prepared.build, prepared.table
     assert not (set(build.schema.names) & set(probe.schema.names)), \
         "join inputs must have disjoint column names (planner qualifies them)"
 
-    bh = hash_rows([build.column(k) for k in build_keys])
     ph = hash_rows([probe.column(k) for k in probe_keys])
-    bkv = _keys_valid(build, build_keys)
     pkv = _keys_valid(probe, probe_keys)
-
-    table = build_join_table(bh, bkv, build.num_rows, strategy)
+    if prepared is None:
+        bh = hash_rows([build.column(k) for k in build_keys])
+        bkv = _keys_valid(build, build_keys)
+        table = build_join_table(bh, bkv, build.num_rows, strategy)
     cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
 
     # Pair-emitting joins fetch full candidate rows — ONE packed row-gather

@@ -35,6 +35,7 @@ class ExecutorMetrics:
         self.run_time_s = 0.0
         self.retries = 0
         self.join_caps: Dict[int, int] = {}
+        self.streamed_chunks = 0
 
 
 class QueryHandle:
@@ -109,11 +110,23 @@ class QueryHandle:
             pass
 
     # -- inputs ---------------------------------------------------------------
-    def _leaf_tables(self) -> Dict[str, DeviceTable]:
+    def _live_columns(self) -> Dict[str, set]:
+        """Plan-live column set per TABLE (union over its scan labels)."""
+        from ..models.optimizer import required_leaf_columns
+        live = required_leaf_columns(self.plan)
+        per_table: Dict[str, set] = {}
+        for node in self.plan.walk():
+            if isinstance(node, PScan):
+                per_table.setdefault(node.table_name, set()).update(
+                    live.get(node.label) or set())
+        return per_table
+
+    def _leaf_tables(self, skip_labels=()) -> Dict[str, DeviceTable]:
         """Upload each scan's LIVE columns only: the resident HBM set is what
         OOMs big scale factors (SF10 lineitem is ~6 GB full-width, ~2.5 GB at
         Q9's seven live columns). Narrowed uploads are cached per column-set
-        on the registration so repeat runs don't re-transfer."""
+        on the registration so repeat runs don't re-transfer.
+        `skip_labels`: scans left out entirely (streamed in chunks instead)."""
         from ..models.optimizer import required_leaf_columns
         live = required_leaf_columns(self.plan)
         # one upload per TABLE: the union over its labels (self-joins), so
@@ -125,7 +138,8 @@ class QueryHandle:
                     live.get(node.label) or set())
         tables = {}
         for node in self.plan.walk():
-            if isinstance(node, PScan) and node.label not in tables:
+            if isinstance(node, PScan) and node.label not in tables \
+                    and node.label not in skip_labels:
                 reg = self.catalog.get(node.table_name)
                 cols = per_table[node.table_name] & set(reg.host.schema.names)
                 if not cols:
@@ -148,11 +162,33 @@ class QueryHandle:
             value = rows[0][result.schema.fields[0].name]
             sv.holder[0] = value
 
-        tables = self._leaf_tables()
         adaptive = find_adaptive(self.plan)
         plan = self.plan
         if not self._caps_loaded:
             self._load_caps(adaptive)
+
+        # Morsel streaming: when the biggest scan's upload alone breaks the
+        # HBM budget and it reaches the top aggregate row-linearly, chunk it
+        # through the plan instead of materializing it (out-of-core path —
+        # the analog of the reference's streaming probe, inner.rs:48-75).
+        import os
+        if not os.environ.get("DFP_NO_STREAM"):
+            from .streaming import (plan_stream, run_streamed,
+                                    stream_upload_bytes)
+            sp = plan_stream(self.plan, self.catalog)
+            if sp is not None:
+                live = self._live_columns().get(sp.scan.table_name)
+                # default: stream when the scan's upload alone exceeds 2 GB
+                # (v5e HBM is 15.75 GB; the single-program path needs several
+                # multiples of the table for packs/sorts/gather temps)
+                threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
+                                               2 << 30))
+                if stream_upload_bytes(self.catalog, sp, live) > threshold:
+                    resident = self._leaf_tables(
+                        skip_labels=(sp.scan.label,))
+                    return run_streamed(self, sp, resident, live, adaptive)
+
+        tables = self._leaf_tables()
 
         # Staged execution for large plans: one XLA program holding every
         # join's packed intermediates OOMs HBM around TPC-H SF1 Q5.

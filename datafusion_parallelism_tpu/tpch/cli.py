@@ -135,17 +135,25 @@ def run(argv=None) -> dict:
             print(f"-- Q{q} plan --\n{handle.explain()}")
         times = []
         first_rows = None
-        for it in range(args.iterations):
-            t0 = time.time()
-            out = handle.collect()
-            times.append((time.time() - t0) * 1000)
-            if it == 0:
-                first_rows = out.to_pylist()
+        try:
+            for it in range(args.iterations):
+                t0 = time.time()
+                out = handle.collect()
+                times.append((time.time() - t0) * 1000)
+                if it == 0:
+                    first_rows = out.to_pylist()
+        except Exception as e:       # keep the suite going; record the error
+            import traceback
+            traceback.print_exc()
+            results["query_metrics"][q] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"Q{q}: FAILED ({type(e).__name__})", flush=True)
+            continue
         results["query_times_ms"][q] = times
         m = handle.metrics
         results["query_metrics"][q] = {
             "compiles": m.compile_count, "compile_time_s": m.compile_time_s,
-            "retries": m.retries, "join_caps": m.join_caps}
+            "retries": m.retries, "join_caps": m.join_caps,
+            "streamed_chunks": m.streamed_chunks}
         status = ""
         if args.check:
             expected = oracle_query(q, tables)
