@@ -35,12 +35,18 @@ def load_data_path(path: str) -> dict:
     from .datagen import TABLE_NAMES
     from .tbl_loader import load_tbl
 
+    from ..utils.binfmt import is_bin_table_dir, read_bin_table
+
     tables = {}
     for name in TABLE_NAMES:
         pq_file = os.path.join(path, f"{name}.parquet")
         pq_dir = os.path.join(path, name)
         tbl = os.path.join(path, f"{name}.tbl")
-        if os.path.isfile(pq_file):
+        if os.path.isdir(pq_dir) and is_bin_table_dir(pq_dir):
+            # native binary columnar (memmapped: SF100 opens instantly and
+            # the streaming executor reads only the touched chunk pages)
+            tables[name] = read_bin_table(pq_dir)
+        elif os.path.isfile(pq_file):
             tables[name] = read_parquet(pq_file)
         elif os.path.isdir(pq_dir):
             tables[name] = read_parquet(pq_dir)

@@ -1,0 +1,74 @@
+"""Native (C++) TPC-H generator + binary columnar format.
+
+The generator's datasets are statistically equivalent to tpch/datagen.py,
+not byte-identical; correctness is oracle-re-derivation over the SAME loaded
+data (the CLI --check contract), plus the engine's structural invariants
+(sorted unique dictionaries, key relationships)."""
+
+import numpy as np
+import pytest
+
+import datafusion_parallelism_tpu as dfp
+from datafusion_parallelism_tpu.tpch.datagen import TABLE_NAMES, generate_tables
+from datafusion_parallelism_tpu.tpch.oracle import oracle_query
+from datafusion_parallelism_tpu.tpch.queries import QUERIES
+
+from oracle import assert_rows_equal
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from datafusion_parallelism_tpu.utils.binfmt import (generate_native,
+                                                         read_bin_dataset)
+    out = tmp_path_factory.mktemp("tpch_bin")
+    try:
+        generate_native(0.002, str(out))
+    except Exception as e:  # no toolchain in this environment
+        pytest.skip(f"native generator unavailable: {e}")
+    return read_bin_dataset(str(out))
+
+
+def test_tables_and_schemas(dataset):
+    assert sorted(dataset) == sorted(TABLE_NAMES)
+    ref = generate_tables(sf=0.002)
+    for name in TABLE_NAMES:
+        got, want = dataset[name], ref[name]
+        assert got.schema.names == want.schema.names, name
+        for f in got.schema.fields:
+            wf = want.schema.field(f.name)
+            assert f.dtype.kind == wf.dtype.kind, (name, f.name)
+
+
+def test_dictionaries_sorted_unique(dataset):
+    for name, t in dataset.items():
+        for f in t.schema.fields:
+            if f.dictionary is None:
+                continue
+            vals = [str(v) for v in f.dictionary.values]
+            assert vals == sorted(set(vals)), (name, f.name)
+            codes, _ = t.columns[f.name]
+            assert 0 <= int(np.min(codes)) and \
+                int(np.max(codes)) < len(vals), (name, f.name)
+
+
+def test_key_relationships(dataset):
+    li, orders = dataset["lineitem"], dataset["orders"]
+    ps = dataset["partsupp"]
+    lok = np.asarray(li.columns["l_orderkey"][0])
+    assert lok.min() >= 1 and lok.max() <= orders.num_rows
+    # every (l_partkey, l_suppkey) pair exists in partsupp (Q9 join depends)
+    S = int(np.asarray(ps.columns["ps_suppkey"][0]).max()) + 1
+    ps_pairs = set((np.asarray(ps.columns["ps_partkey"][0]).astype(np.int64)
+                    * S + np.asarray(ps.columns["ps_suppkey"][0])).tolist())
+    li_pairs = set((np.asarray(li.columns["l_partkey"][0]).astype(np.int64)
+                    * S + np.asarray(li.columns["l_suppkey"][0])).tolist())
+    assert li_pairs <= ps_pairs
+
+
+@pytest.mark.parametrize("q", [1, 6, 12, 16, 22])
+def test_queries_match_oracle(dataset, q):
+    ctx = dfp.SessionContext()
+    for n, t in dataset.items():
+        ctx.register_table(n, t)
+    rows = ctx.sql(QUERIES[q]).collect().to_pylist()
+    assert_rows_equal(rows, oracle_query(q, dataset))
