@@ -102,18 +102,25 @@ const int32_t CURRENT_DATE = 9298;  // 1995-06-17
 struct Meta {
   std::string dir;
   int64_t num_rows = 0;
-  std::string cols;  // accumulated JSON entries
+  std::string cols;      // accumulated JSON entries
+  std::string distinct;  // exact distinct-count hints (planner statistics)
   void add(const std::string& name, const char* kind, bool dict) {
     if (!cols.empty()) cols += ",\n  ";
     cols += "{\"name\": \"" + name + "\", \"kind\": \"" + kind + "\"";
     if (dict) cols += ", \"dict\": \"" + name + ".dict\"";
     cols += ", \"file\": \"" + name + ".bin\"}";
   }
+  // `key` is a column name or "a,b" composite
+  void hint(const std::string& key, int64_t n) {
+    if (!distinct.empty()) distinct += ", ";
+    distinct += "\"" + key + "\": " + std::to_string(n);
+  }
   void finish() const {
     std::string p = dir + "/meta.json";
     FILE* f = fopen(p.c_str(), "w");
-    fprintf(f, "{\"num_rows\": %lld,\n \"columns\": [\n  %s\n]}\n",
-            (long long)num_rows, cols.c_str());
+    fprintf(f, "{\"num_rows\": %lld,\n \"distinct\": {%s},\n"
+            " \"columns\": [\n  %s\n]}\n",
+            (long long)num_rows, distinct.c_str(), cols.c_str());
     fclose(f);
   }
 };
@@ -309,6 +316,8 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     for (int64_t b = 0; b < n_bad; b++)
       codes[rng.uniform(0, n_supp)] = planted_code;
     write_dict(m, "s_comment", full);
+    m.hint("s_suppkey", n_supp);
+    m.hint("s_nationkey", std::min<int64_t>(25, n_supp));
     write_i32(m, "s_comment", codes, "str", true);
     m.finish();
   }
@@ -349,6 +358,8 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     write_dict(m, "c_mktsegment", sorted_vocab(SEGMENTS, 5));
     write_i32(m, "c_mktsegment", seg, "str", true);
     write_dict(m, "c_comment", vocab);
+    m.hint("c_custkey", n_cust);
+    m.hint("c_nationkey", std::min<int64_t>(25, n_cust));
     write_i32(m, "c_comment", com, "str", true);
     m.finish();
   }
@@ -419,6 +430,7 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     write_i32(m, "p_container", pcont, "str", true);
     write_i64(m, "p_retailprice", retail, "dec2");
     write_dict(m, "p_comment", {"c"});
+    m.hint("p_partkey", n_part);
     write_i32(m, "p_comment", pcom, "str", true);
     m.finish();
   }
@@ -447,6 +459,9 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     write_i32(m, "ps_availqty", avail);
     write_i64(m, "ps_supplycost", cost, "dec2");
     write_dict(m, "ps_comment", vocab);
+    m.hint("ps_partkey", n_part);
+    m.hint("ps_suppkey", n_supp);
+    m.hint("ps_partkey,ps_suppkey", n_ps);
     write_i32(m, "ps_comment", com, "str", true);
     m.finish();
   }
@@ -554,6 +569,10 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     ml.add("l_shipinstruct", "str", true);
     ml.add("l_shipmode", "str", true);
     ml.add("l_comment", "str", true);
+    ml.hint("l_orderkey", n_ord);
+    ml.hint("l_partkey", std::min(n_part, n_li));
+    ml.hint("l_suppkey", std::min(n_supp, n_li));
+    ml.hint("l_partkey,l_suppkey", std::min(4 * n_part, n_li));
     write_dict(ml, "l_returnflag", {"A", "N", "R"});
     write_dict(ml, "l_linestatus", {"F", "O"});
     write_dict(ml, "l_shipinstruct", sorted_vocab(INSTRUCTIONS, 4));
@@ -587,6 +606,8 @@ extern "C" int64_t dfp_generate(double sf, uint64_t seed, const char* outdir) {
     write_i32(mo, "o_orderpriority", oprio, "str", true);
     write_i32(mo, "o_clerk", oclerk);
     write_i32(mo, "o_shippriority", oship);
+    mo.hint("o_orderkey", n_ord);
+    mo.hint("o_custkey", std::max<int64_t>(n_cust * 2 / 3, 1));
     write_dict(mo, "o_comment", vocab);
     write_i32(mo, "o_comment", ocom, "str", true);
     mo.finish();

@@ -115,7 +115,7 @@ def run(argv=None) -> dict:
         apply_config_file(cfg, args.config_path)
     ctx = SessionContext(cfg)
     for n, t in tables.items():
-        ctx.register_table(n, t)
+        ctx.register_table(n, t, getattr(t, "statistics_hint", None))
     register_time = time.time() - t0
 
     results = {

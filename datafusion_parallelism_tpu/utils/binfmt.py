@@ -45,6 +45,10 @@ def read_bin_table(path: str, memmap: bool = True) -> HostTable:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     n = int(meta["num_rows"])
+    # exact distinct-count hints from the generator: spare the planner its
+    # np.unique passes over memmapped 100M-row columns ("a,b" = composite)
+    distinct = {k.replace(",", "\x00"): int(v)
+                for k, v in meta.get("distinct", {}).items()}
     valid = np.broadcast_to(np.bool_(True), (n,))
     fields, columns = [], {}
     for c in meta["columns"]:
@@ -64,7 +68,11 @@ def read_bin_table(path: str, memmap: bool = True) -> HostTable:
         fields.append(Field(c["name"], dtype, nullable=False,
                             dictionary=dictionary))
         columns[c["name"]] = (vals, valid)
-    return HostTable(Schema(fields), columns, n)
+    t = HostTable(Schema(fields), columns, n)
+    if distinct:
+        from .catalog import Statistics
+        t.statistics_hint = Statistics(row_count=n, distinct=distinct)
+    return t
 
 
 def read_bin_dataset(path: str, memmap: bool = True) -> Dict[str, HostTable]:

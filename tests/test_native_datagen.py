@@ -65,6 +65,14 @@ def test_key_relationships(dataset):
     assert li_pairs <= ps_pairs
 
 
+def test_statistics_hints(dataset):
+    li, orders = dataset["lineitem"], dataset["orders"]
+    st = li.statistics_hint
+    assert st.distinct["l_orderkey"] == orders.num_rows
+    assert "l_partkey\x00l_suppkey" in st.distinct
+    assert orders.statistics_hint.distinct["o_orderkey"] == orders.num_rows
+
+
 @pytest.mark.parametrize("q", [1, 6, 12, 16, 22])
 def test_queries_match_oracle(dataset, q):
     ctx = dfp.SessionContext()
