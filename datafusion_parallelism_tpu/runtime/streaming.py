@@ -38,7 +38,7 @@ import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
-import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -49,8 +49,8 @@ from ..ops.aggregate import (agg_output_schema, decompose_for_partial,
 from ..ops.join import JoinType, prepare_build
 from ..ops.project import project_table
 from ..ops.sort import limit_table, sort_table
-from ..utils.columnar import (DeviceTable, HostTable, Schema, concat_tables,
-                              round_capacity)
+from ..utils.columnar import (DeviceTable, PackedTable, Schema, concat_tables,
+                              pack_host_slice, round_capacity, unpack_table)
 
 _LINEAR_JOIN_TYPES = (JoinType.INNER, JoinType.RIGHT, JoinType.RIGHT_SEMI,
                       JoinType.RIGHT_ANTI)
@@ -116,20 +116,16 @@ def stream_upload_bytes(catalog, sp: StreamPlan, live_cols) -> int:
                for n, (v, valid) in reg.host.columns.items() if n in cols)
 
 
-def _chunk_table(reg, live_cols, lo: int, chunk_rows: int,
-                 label: str) -> DeviceTable:
-    """Host-slice rows [lo, lo+chunk_rows) of the live columns and upload at
-    the fixed chunk capacity (all chunks share one compiled shape)."""
+def _chunk_arrays(reg, live_cols, lo: int, chunk_rows: int, label: str):
+    """Host-pack rows [lo, lo+chunk_rows) of the live columns into ONE
+    [W, chunk_rows] matrix (+ f64 columns): a single relay transfer per
+    chunk instead of one padded upload per column. Returns
+    (schema, layout, packed, f64s, n)."""
     n = min(chunk_rows, reg.host.num_rows - lo)
-    fields = [f for f in reg.host.schema.fields if f.name in live_cols]
-    cols = {f.name: (np.ascontiguousarray(
-                         reg.host.columns[f.name][0][lo:lo + n]),
-                     np.ascontiguousarray(
-                         reg.host.columns[f.name][1][lo:lo + n]))
-            for f in fields}
-    sub = HostTable(Schema(fields), cols, n)
-    dev = sub.to_device(capacity=chunk_rows)
-    return dev.rename({c: f"{label}.{c}" for c in dev.schema.names})
+    schema, layout, packed, f64s = pack_host_slice(
+        reg.host, live_cols, lo, n, chunk_rows,
+        rename_prefix=f"{label}.")
+    return schema, layout, packed, f64s, n
 
 
 def _run_head(out: DeviceTable, head: List[PhysicalPlan]) -> DeviceTable:
@@ -229,14 +225,21 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                                    1 << 22))
             handle._caps[agg.node_id] = agg_cap
 
+        chunk_schema, chunk_layout, _, _, _ = _chunk_arrays(
+            reg, live_cols, 0, chunk_rows, sp.scan.label)
+
         def make_step():
             caps = dict(handle._caps)
 
-            def step(resident, chunk, acc_cols, acc_rows, prepared,
-                     _caps=caps):
+            def step(resident, packed, f64s, chunk_n, acc_cols, acc_rows,
+                     prepared, _caps=caps):
                 ctx = ExecContext(_caps, prepared=prepared)
                 tables = dict(resident)
-                tables[sp.scan.label] = chunk
+                # reconstruct the chunk from its single packed upload
+                # (unpack is elementwise bit ops — fused for free)
+                tables[sp.scan.label] = unpack_table(
+                    PackedTable(packed, f64s, chunk_layout), chunk_schema,
+                    chunk_n)
                 child, row_filter = agg.fused_child(tables, ctx)
                 partial, _ = hash_aggregate_counted(
                     child, agg.group_keys, partial_specs, agg_cap, row_filter)
@@ -268,19 +271,26 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
 
         i = 0
         while i < n_chunks:
-            chunk = _chunk_table(reg, live_cols, i * chunk_rows, chunk_rows,
-                                 sp.scan.label)
+            t0 = time.time()
+            _, _, packed, f64s, chunk_n = _chunk_arrays(
+                reg, live_cols, i * chunk_rows, chunk_rows, sp.scan.label)
+            chunk_n = jnp.int32(chunk_n)
+            if os.environ.get("DFP_STREAM_DEBUG"):
+                print(f"[stream] chunk {i} packed in {time.time()-t0:.2f}s",
+                      flush=True)
             while True:   # per-chunk join/filter capacity retries
                 if compiled is None:
                     t0 = time.time()
-                    compiled = step.lower(resident, chunk, acc_cols,
-                                          acc_rows, prepared).compile()
+                    compiled = step.lower(resident, packed, f64s, chunk_n,
+                                          acc_cols, acc_rows,
+                                          prepared).compile()
                     handle._caps.update(caps)
                     handle.metrics.compile_count += 1
                     handle.metrics.compile_time_s += time.time() - t0
                 t0 = time.time()
                 new_cols, new_rows, mtotal, totals = compiled(
-                    resident, chunk, acc_cols, acc_rows, prepared)
+                    resident, packed, f64s, chunk_n, acc_cols, acc_rows,
+                    prepared)
                 if os.environ.get("DFP_STREAM_DEBUG"):
                     print(f"[stream] chunk {i} dispatched", flush=True)
                 mtotal = int(mtotal)

@@ -510,6 +510,49 @@ def packed_layout(schema: Schema) -> PackedLayout:
     return PackedLayout(tuple(fields), tuple(f64s), valid_base, width)
 
 
+def pack_host_slice(t: HostTable, names, lo: int, n: int, cap: int,
+                    rename_prefix: str = ""):
+    """Numpy mirror of pack_table over host rows [lo, lo+n), padded to `cap`:
+    ONE [W, cap] int32 matrix (+ separate f64 columns) so a streamed chunk
+    crosses the host->device relay as a single transfer instead of one
+    padded upload per column (relay transfers pay fixed per-array overhead).
+
+    Returns (schema, layout, packed, f64s); the device side reconstructs the
+    chunk with unpack_table (elementwise bit ops, fused for free)."""
+    fields = [f.with_name(rename_prefix + f.name)
+              for f in t.schema.fields if f.name in names]
+    schema = Schema(fields)
+    layout = packed_layout(schema)
+    strip = len(rename_prefix)
+    packed = np.zeros((layout.width, cap), np.int32)
+    f64s = {}
+    for name, kind, slot, nw in layout.fields:
+        v, _ = t.columns[name[strip:]]
+        v = np.asarray(v[lo:lo + n])
+        if kind is Kind.FLOAT64:
+            out = np.zeros(cap, np.float64)
+            out[:n] = v
+            f64s[name] = out
+        elif nw == 2:
+            vv = v.astype(np.int64, copy=False)
+            packed[slot, :n] = (vv & np.int64(0xFFFFFFFF)).astype(
+                np.uint32).view(np.int32)
+            packed[slot + 1, :n] = (vv >> np.int64(32)).astype(np.int32)
+        elif kind is Kind.FLOAT32:
+            packed[slot, :n] = v.view(np.int32)
+        else:
+            packed[slot, :n] = v.astype(np.int32, copy=False)
+    n_fields = len(layout.fields)
+    for w in range((n_fields + 31) // 32):
+        word = np.zeros(cap, np.uint32)
+        for j in range(w * 32, min((w + 1) * 32, n_fields)):
+            _, valid = t.columns[layout.fields[j][0][strip:]]
+            word[:n] |= (np.asarray(valid[lo:lo + n]).astype(np.uint32)
+                         << np.uint32(j - w * 32))
+        packed[layout.valid_base + w] = word.view(np.int32)
+    return schema, layout, packed, f64s
+
+
 def pack_table(t: DeviceTable) -> PackedTable:
     """All columns + validity bitmask in one [cap, W] int32 matrix (float64
     columns ride alongside)."""
