@@ -269,65 +269,106 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
         restart = False
         handle.metrics.streamed_chunks = 0
 
+        # Double-buffered chunk loop: chunk i's device compute overlaps the
+        # HOST PACKING of chunk i+1 (dispatch is async; the blocking int()
+        # validation of chunk i is deferred until after chunk i+1 is
+        # packed). On overflow the pending chunk re-runs from its saved
+        # input accumulator — nothing later has been dispatched yet.
+        debug = bool(os.environ.get("DFP_STREAM_DEBUG"))
+        pending = None   # (idx, acc_in, outs): dispatched, not yet validated
+        mtotal = 0
+
+        def validate(pending):
+            """-> (ok, mtotal). Blocks on the pending chunk's scalars."""
+            nonlocal restart, compiled, caps, step
+            idx, _, (new_cols, new_rows, mt, tot) = pending
+            t0 = time.time()
+            mt = int(mt)
+            tot = [int(x) for x in tot]
+            handle.metrics.run_time_s += time.time() - t0
+            if debug:
+                print(f"[stream] chunk {idx} mtotal={mt} totals={tot}",
+                      flush=True)
+            overflow = False
+            for (k, _), total in zip(sub_adaptive, tot):
+                cap = handle._caps.get(k, total)
+                if total > cap:
+                    handle._caps[k] = round_capacity(max(total, 1),
+                                                     minimum=1024)
+                    overflow = True
+            if overflow:
+                # joins/filters are per-chunk stateless: recompile and
+                # retry the pending chunk with the grown capacities
+                handle.metrics.retries += 1
+                caps, step = make_step()
+                compiled = None
+                return False, mt
+            if mt > agg_cap:
+                # accumulator overflow: every prior chunk's fold was
+                # truncated — grow and restart the stream
+                handle._caps[agg.node_id] = round_capacity(
+                    max(mt, 2 * agg_cap), minimum=1024)
+                handle.metrics.retries += 1
+                restart = True
+                return False, mt
+            handle.metrics.streamed_chunks += 1
+            return True, mt
+
         i = 0
-        while i < n_chunks:
+        while i < n_chunks and not restart:
             t0 = time.time()
             _, _, packed, f64s, chunk_n = _chunk_arrays(
                 reg, live_cols, i * chunk_rows, chunk_rows, sp.scan.label)
             chunk_n = jnp.int32(chunk_n)
-            if os.environ.get("DFP_STREAM_DEBUG"):
+            if debug:
                 print(f"[stream] chunk {i} packed in {time.time()-t0:.2f}s",
                       flush=True)
-            while True:   # per-chunk join/filter capacity retries
-                if compiled is None:
-                    t0 = time.time()
-                    compiled = step.lower(resident, packed, f64s, chunk_n,
-                                          acc_cols, acc_rows,
-                                          prepared).compile()
-                    handle._caps.update(caps)
-                    handle.metrics.compile_count += 1
-                    handle.metrics.compile_time_s += time.time() - t0
-                t0 = time.time()
-                new_cols, new_rows, mtotal, totals = compiled(
-                    resident, packed, f64s, chunk_n, acc_cols, acc_rows,
-                    prepared)
-                if os.environ.get("DFP_STREAM_DEBUG"):
-                    print(f"[stream] chunk {i} dispatched", flush=True)
-                mtotal = int(mtotal)
-                if os.environ.get("DFP_STREAM_DEBUG"):
-                    print(f"[stream] chunk {i} mtotal={mtotal}", flush=True)
-                totals = [int(t) for t in totals]
-                if os.environ.get("DFP_STREAM_DEBUG"):
-                    print(f"[stream] chunk {i} totals={totals}", flush=True)
-                handle.metrics.run_time_s += time.time() - t0
-
-                overflow = False
-                for (k, _), total in zip(sub_adaptive, totals):
-                    cap = handle._caps.get(k, total)
-                    if total > cap:
-                        handle._caps[k] = round_capacity(max(total, 1),
-                                                         minimum=1024)
-                        overflow = True
-                if overflow:
-                    # joins/filters are per-chunk stateless: recompile and
-                    # retry THIS chunk with the grown capacities
-                    handle.metrics.retries += 1
-                    caps, step = make_step()
-                    compiled = None
+            if pending is not None:
+                ok, mtotal = validate(pending)
+                if not ok:
+                    if restart:
+                        break
+                    # re-run the failed chunk from its input accumulator
+                    i, (acc_cols, acc_rows) = pending[0], pending[1]
+                    pending = None
                     continue
-                if mtotal > agg_cap:
-                    # accumulator overflow: every prior chunk's fold was
-                    # truncated — grow and restart the stream
-                    handle._caps[agg.node_id] = round_capacity(
-                        max(mtotal, 2 * agg_cap), minimum=1024)
-                    handle.metrics.retries += 1
-                    restart = True
-                break
-            if restart:
-                break
-            acc_cols, acc_rows = new_cols, new_rows
-            handle.metrics.streamed_chunks += 1
+                acc_cols, acc_rows = pending[2][0], pending[2][1]
+                pending = None
+            if compiled is None:
+                t0 = time.time()
+                compiled = step.lower(resident, packed, f64s, chunk_n,
+                                      acc_cols, acc_rows,
+                                      prepared).compile()
+                handle._caps.update(caps)
+                handle.metrics.compile_count += 1
+                handle.metrics.compile_time_s += time.time() - t0
+            outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
+                            acc_rows, prepared)
+            pending = (i, (acc_cols, acc_rows), outs)
             i += 1
+        while pending is not None and not restart:
+            ok, mtotal = validate(pending)
+            if not ok:
+                if restart:
+                    break
+                idx, (acc_cols, acc_rows) = pending[0], pending[1]
+                pending = None
+                t0 = time.time()
+                _, _, packed, f64s, chunk_n = _chunk_arrays(
+                    reg, live_cols, idx * chunk_rows, chunk_rows,
+                    sp.scan.label)
+                chunk_n = jnp.int32(chunk_n)
+                compiled = step.lower(resident, packed, f64s, chunk_n,
+                                      acc_cols, acc_rows, prepared).compile()
+                handle._caps.update(caps)
+                handle.metrics.compile_count += 1
+                handle.metrics.compile_time_s += time.time() - t0
+                outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
+                                acc_rows, prepared)
+                pending = (idx, (acc_cols, acc_rows), outs)
+                continue
+            acc_cols, acc_rows = pending[2][0], pending[2][1]
+            pending = None
         if restart:
             continue
         # persist the settled capacities (with the aggregate shrunk to its
