@@ -178,11 +178,14 @@ class QueryHandle:
             sp = plan_stream(self.plan, self.catalog)
             if sp is not None:
                 live = self._live_columns().get(sp.scan.table_name)
-                # default: stream when the scan's upload alone exceeds 2 GB
-                # (v5e HBM is 15.75 GB; the single-program path needs several
-                # multiples of the table for packs/sorts/gather temps)
+                # default: stream only when the scan's upload alone exceeds
+                # 6 GB. v5e HBM is 15.75 GB and the single-program path needs
+                # ~2-3x the table for packs/sorts/gather temps, so 6 GB is the
+                # fit boundary. Streaming re-uploads every chunk across the
+                # host link each iteration (SF10 Q1: 338 s streamed vs ~x s
+                # resident), so prefer in-memory whenever the table fits.
                 threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
-                                               2 << 30))
+                                               6 << 30))
                 if stream_upload_bytes(self.catalog, sp, live) > threshold:
                     resident = self._leaf_tables(
                         skip_labels=(sp.scan.label,))
