@@ -320,6 +320,10 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             _, _, packed, f64s, chunk_n = _chunk_arrays(
                 reg, live_cols, i * chunk_rows, chunk_rows, sp.scan.label)
             chunk_n = jnp.int32(chunk_n)
+            # start the async host->device transfer NOW, before blocking on
+            # the pending chunk's scalars: the upload (the dominant per-chunk
+            # cost on relay-backed devices) then overlaps chunk i-1's compute
+            packed, f64s = jax.device_put((packed, f64s))
             if debug:
                 print(f"[stream] chunk {i} packed in {time.time()-t0:.2f}s",
                       flush=True)
