@@ -106,11 +106,22 @@ def build_join_table(hashes, key_valid, num_rows,
 
 
 class Candidates(NamedTuple):
-    """Flattened (probe row, build row) candidate pairs, static capacity."""
+    """Flattened (probe row, build row) candidate pairs, static capacity.
+
+    `pos` is the candidate's position in the build perm order; `build_idx` is
+    the dereferenced row id `perm[pos]`. Consumers that store the build rows
+    physically in perm order (PreparedBuild.perm_rows) index with `pos`
+    directly and never touch `build_idx` — XLA then dead-code-eliminates the
+    perm gather entirely. `base`/`count` are the per-PROBE-row output range
+    (base = first output slot), kept for the scatter-based probe-row
+    replication in join.py."""
     probe_idx: jnp.ndarray   # int32[out_cap]
-    build_idx: jnp.ndarray   # int32[out_cap]
+    build_idx: jnp.ndarray   # int32[out_cap] = perm[pos] (lazy: DCE'd if unused)
+    pos: jnp.ndarray         # int32[out_cap] position in perm order
     valid: jnp.ndarray       # bool[out_cap]: real candidate AND hashes equal
     total: jnp.ndarray       # int32 scalar: true candidate count (overflow check)
+    base: jnp.ndarray        # int32[m] first output slot per probe row
+    count: jnp.ndarray       # int32[m] candidates per probe row
 
 
 def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
@@ -168,7 +179,8 @@ def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
            - bias) + j
     cand = j < total
     build_idx = jnp.take(table.perm, pos, mode="clip")
-    return Candidates(probe_idx, build_idx, cand, total)
+    return Candidates(probe_idx, build_idx, pos, cand, total,
+                      base_per_row, count)
 
 
 def probe_candidates(table: JoinTable, probe_hashes, probe_key_valid,

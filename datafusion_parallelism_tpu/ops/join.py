@@ -26,10 +26,11 @@ from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..utils.columnar import (DeviceTable, Schema, compaction_indices,
-                              gather_table, hstack_tables,
-                              null_columns_like, concat_tables,
-                              pack_table, unpack_table,
+from ..utils.columnar import (DeviceTable, PackedTable, Schema,
+                              compaction_indices, gather_table,
+                              hstack_tables, null_columns_like,
+                              concat_tables, pack_table, unpack_table,
+                              replicate_packed, take_rows_fused,
                               filter_rows as _filter_rows)
 from typing import NamedTuple
 
@@ -88,17 +89,32 @@ class PreparedBuild(NamedTuple):
     build to probe (reference src/operator/lookup_consumers.rs:4-42): built
     ONCE, probed by any number of streamed probe batches. Streaming execution
     hoists these out of the per-chunk program so resident hash tables are not
-    rebuilt every chunk (reference inner.rs:48-75 probes a frozen map)."""
+    rebuilt every chunk (reference inner.rs:48-75 probes a frozen map).
+
+    `perm_rows` stores the packed build rows PHYSICALLY in perm (bucket)
+    order with the original row id appended as one extra int32 word: the
+    probe then fetches candidate rows (and their ids, for the visited mask)
+    directly at `Candidates.pos` with a single gather — the separate
+    `perm[pos]` dereference gather disappears."""
     build: DeviceTable
     table: JoinTable
+    perm_rows: PackedTable
+
+
+def _perm_rows(build: DeviceTable, table: JoinTable) -> PackedTable:
+    bp = pack_table(build)
+    ids = jnp.arange(build.capacity, dtype=jnp.int32)[None, :]
+    aug = PackedTable(jnp.concatenate([bp.packed, ids], axis=0),
+                      bp.f64s, bp.layout)
+    return aug.take_rows(table.perm)
 
 
 def prepare_build(build: DeviceTable, build_keys: List[str],
                   strategy: JoinStrategy = JoinStrategy.CSR) -> PreparedBuild:
     bh = hash_rows([build.column(k) for k in build_keys])
     bkv = _keys_valid(build, build_keys)
-    return PreparedBuild(build, build_join_table(bh, bkv, build.num_rows,
-                                                 strategy))
+    table = build_join_table(bh, bkv, build.num_rows, strategy)
+    return PreparedBuild(build, table, _perm_rows(build, table))
 
 
 def hash_join(build: DeviceTable, probe: DeviceTable,
@@ -119,7 +135,8 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     """
     assert len(build_keys) == len(probe_keys) >= 1
     if prepared is not None:
-        build, table = prepared.build, prepared.table
+        build, table, bperm = (prepared.build, prepared.table,
+                               prepared.perm_rows)
     assert not (set(build.schema.names) & set(probe.schema.names)), \
         "join inputs must have disjoint column names (planner qualifies them)"
 
@@ -129,11 +146,16 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         bh = hash_rows([build.column(k) for k in build_keys])
         bkv = _keys_valid(build, build_keys)
         table = build_join_table(bh, bkv, build.num_rows, strategy)
+        bperm = None
     cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
 
-    # Pair-emitting joins fetch full candidate rows — ONE packed row-gather
-    # per side covers every column + validity AND the key values for the
-    # recheck (gathers cost per index, not per byte — see pack_table).
+    # Pair-emitting joins fetch full candidate rows; the packed build rows
+    # stored in perm order are fetched at `pos` in ONE gather that also
+    # carries the build row id (for the visited mask), and the probe rows
+    # are REPLICATED into their candidate segments by scatter+diff-cumsum —
+    # no out_cap-size gather on the probe side at all. The gathered rows
+    # cover every column + validity AND the key values for the recheck
+    # (gathers cost per index, not per byte — see pack_table).
     # Semi/anti joins without a residual never materialize pair rows: they
     # only need the match flags, so the recheck uses SCALAR per-key-column
     # gathers and the row-gathers are skipped entirely (candidates have
@@ -143,12 +165,19 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
                                      JoinType.RIGHT, JoinType.FULL)
                        or residual is not None)
     if needs_pair_rows:
-        bpacked = pack_table(build)
+        if bperm is None:
+            bperm = _perm_rows(build, table)
+        gb_aug = bperm.take_rows(cands.pos)
+        cand_build_idx = gb_aug.packed[-1]
+        gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
         ppacked = pack_table(probe)
-        gb = bpacked.take_rows(cands.build_idx)
-        gp = ppacked.take_rows(cands.probe_idx)
+        gp = replicate_packed(ppacked, cands.base, cands.count, out_cap,
+                              cands.probe_idx)
         gbt = unpack_table(gb, build.schema, out_cap)
         gpt = unpack_table(gp, probe.schema, out_cap)
+    else:
+        # perm[pos] dereference only on this path; XLA DCEs it elsewhere
+        cand_build_idx = cands.build_idx
 
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
     eq = cands.valid
@@ -159,7 +188,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         else:
             bcol, _ = build.column(bk)
             pcol, _ = probe.column(pk)
-            bv = jnp.take(bcol, cands.build_idx, mode="clip")
+            bv = jnp.take(bcol, cand_build_idx, mode="clip")
             pv = jnp.take(pcol, cands.probe_idx, mode="clip")
             gbv = gpv = True
         if bv.dtype != pv.dtype:
@@ -176,7 +205,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     # visited/matched flags (reference ConcurrentBitSet analog)
     bcap, mcap = build.capacity, probe.capacity
     visited = jnp.zeros((bcap,), jnp.bool_).at[
-        jnp.where(match, cands.build_idx, bcap)].set(True, mode="drop")
+        jnp.where(match, cand_build_idx, bcap)].set(True, mode="drop")
     probe_matched = jnp.zeros((mcap,), jnp.bool_).at[
         jnp.where(match, cands.probe_idx, mcap)].set(True, mode="drop")
 
@@ -186,8 +215,9 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     def pairs_table() -> DeviceTable:
         gidx, n = compaction_indices(match)
         ok = jnp.arange(out_cap, dtype=jnp.int32) < n
-        bt = unpack_table(gb.take_rows(gidx), build.schema, n, ok)
-        pt = unpack_table(gp.take_rows(gidx), probe.schema, n, ok)
+        cb, cp = take_rows_fused([gb, gp], gidx)
+        bt = unpack_table(cb, build.schema, n, ok)
+        pt = unpack_table(cp, probe.schema, n, ok)
         return hstack_tables(bt, pt, n)
 
     def unmatched_build() -> DeviceTable:

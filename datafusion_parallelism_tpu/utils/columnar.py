@@ -493,6 +493,80 @@ class PackedTable(NamedTuple):
             self.layout)
 
 
+def _pt_flatten(pt: PackedTable):
+    names = tuple(sorted(pt.f64s))
+    return ((pt.packed,) + tuple(pt.f64s[n] for n in names),
+            (pt.layout, names))
+
+
+def _pt_unflatten(aux, children):
+    layout, names = aux
+    return PackedTable(children[0], dict(zip(names, children[1:])), layout)
+
+
+# PackedTable crosses jit boundaries inside PreparedBuild (streaming hoists
+# frozen build sides out of the per-chunk program); the layout is static aux
+# data so jit caches per layout signature.
+jax.tree_util.register_pytree_node(PackedTable, _pt_flatten, _pt_unflatten)
+
+
+def take_rows_fused(pts: Sequence[PackedTable], indices: jnp.ndarray
+                    ) -> List[PackedTable]:
+    """Gather the same row indices from several packed tables with ONE fused
+    gather: their [W_i, cap] matrices are stacked on the width axis so XLA
+    issues a single gather op (gathers cost per INDEX, nearly independent of
+    row width — fusing k same-index gathers is ~k-fold cheaper than k
+    separate ones). f64 sidecars still gather per column (column names across
+    the fused tables must be disjoint, which join sides guarantee)."""
+    if len(pts) == 1:
+        return [pts[0].take_rows(indices)]
+    widths = [pt.packed.shape[0] for pt in pts]
+    f64s: Dict[str, jnp.ndarray] = {}
+    for pt in pts:
+        for k, v in pt.f64s.items():
+            assert k not in f64s, f"duplicate f64 column {k!r} in fused gather"
+            f64s[k] = v
+    merged = PackedTable(jnp.concatenate([pt.packed for pt in pts], axis=0),
+                         f64s, pts[0].layout)
+    g = merged.take_rows(indices)
+    out, off = [], 0
+    for pt, w in zip(pts, widths):
+        out.append(PackedTable(g.packed[off:off + w],
+                               {k: g.f64s[k] for k in pt.f64s}, pt.layout))
+        off += w
+    return out
+
+
+def replicate_packed(pt: PackedTable, base: jnp.ndarray, count: jnp.ndarray,
+                     out_cap: int, fallback_idx: jnp.ndarray) -> PackedTable:
+    """Row replication WITHOUT a gather: expand row i of `pt` into output
+    slots [base[i], base[i]+count[i]) using a scatter-add of telescoping
+    int32 word differences followed by a cumsum.
+
+    For every source row i (count 0 or not) the word-wise difference
+    d_i = row_i - row_{i-1} (mod 2^32) is scatter-ADDED at slot base[i];
+    `base` is nondecreasing and rows with count==0 share their successor's
+    base, so after a cumsum along the output axis each slot s holds exactly
+    row_{K(s)} where K(s)=max{i: base[i]<=s} — the row whose segment covers
+    s. All arithmetic wraps mod 2^32, so the reconstruction is BIT-EXACT for
+    every packed word (floats ride as bitcast words). Cost: one m-index
+    scatter + a bandwidth-bound cumsum, vs an out_cap-index gather (~9ns per
+    index on this hardware) — the win is out_cap/m * 9ns per output row.
+
+    f64 sidecar columns cannot ride int32 words under the TPU X64 rewrite,
+    so they fall back to a per-column gather at `fallback_idx` (the
+    replicated source row id per slot)."""
+    p = pt.packed                                     # [W, m]
+    d = p - jnp.pad(p[:, :-1], ((0, 0), (1, 0)))      # d[:,0] = row 0
+    dest = jnp.minimum(base, out_cap)                 # overflow slots drop
+    scat = (jnp.zeros((p.shape[0], out_cap), p.dtype)
+            .at[:, dest].add(d, mode="drop"))
+    rep = jnp.cumsum(scat, axis=1)
+    f64s = {k: jnp.take(v, fallback_idx, mode="clip")
+            for k, v in pt.f64s.items()}
+    return PackedTable(rep, f64s, pt.layout)
+
+
 def packed_layout(schema: Schema) -> PackedLayout:
     fields = []
     f64s = []
