@@ -149,48 +149,34 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         bperm = None
     cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
 
-    # Pair-emitting joins fetch full candidate rows; the packed build rows
-    # stored in perm order are fetched at `pos` in ONE gather that also
-    # carries the build row id (for the visited mask), and the probe rows
-    # are REPLICATED into their candidate segments by scatter+diff-cumsum —
-    # no out_cap-size gather on the probe side at all. The gathered rows
-    # cover every column + validity AND the key values for the recheck
-    # (gathers cost per index, not per byte — see pack_table).
-    # Semi/anti joins without a residual never materialize pair rows: they
-    # only need the match flags, so the recheck uses SCALAR per-key-column
-    # gathers and the row-gathers are skipped entirely (candidates have
-    # all-valid keys by construction — null-key build rows never enter a
-    # bucket / carry the sorted sentinel, null-key probe rows get count=0).
-    needs_pair_rows = (join_type in (JoinType.INNER, JoinType.LEFT,
-                                     JoinType.RIGHT, JoinType.FULL)
-                       or residual is not None)
-    if needs_pair_rows:
-        if bperm is None:
-            bperm = _perm_rows(build, table)
-        gb_aug = bperm.take_rows(cands.pos)
-        cand_build_idx = gb_aug.packed[-1]
-        gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
-        ppacked = pack_table(probe)
-        gp = replicate_packed(ppacked, cands.base, cands.count, out_cap,
-                              cands.probe_idx)
-        gbt = unpack_table(gb, build.schema, out_cap)
-        gpt = unpack_table(gp, probe.schema, out_cap)
-    else:
-        # perm[pos] dereference only on this path; XLA DCEs it elsewhere
-        cand_build_idx = cands.build_idx
+    # ALL join types fetch candidate rows through the same two ops — the
+    # packed build rows stored in perm order are fetched at `pos` in ONE
+    # gather that also carries the build row id (for the visited mask), and
+    # the probe rows are REPLICATED into their candidate segments by
+    # scatter+diff-cumsum — no out_cap-size gather on the probe side at all.
+    # The fetched rows cover every column + validity AND the key values for
+    # the recheck (gathers cost per index, not per byte — see pack_table).
+    # Semi/anti joins read only key columns and match flags from these;
+    # XLA dead-code-eliminates the unpack of every untouched column and the
+    # pairs_table compaction, so there is no waste in the unified path (one
+    # W-wide row gather is cheaper than the perm dereference + per-key
+    # scalar gathers it replaces).
+    if bperm is None:
+        bperm = _perm_rows(build, table)
+    gb_aug = bperm.take_rows(cands.pos)
+    cand_build_idx = gb_aug.packed[-1]
+    gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
+    ppacked = pack_table(probe)
+    gp = replicate_packed(ppacked, cands.base, cands.count, out_cap,
+                          cands.probe_idx)
+    gbt = unpack_table(gb, build.schema, out_cap)
+    gpt = unpack_table(gp, probe.schema, out_cap)
 
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
     eq = cands.valid
     for bk, pk in zip(build_keys, probe_keys):
-        if needs_pair_rows:
-            bv, gbv = gbt.column(bk)
-            pv, gpv = gpt.column(pk)
-        else:
-            bcol, _ = build.column(bk)
-            pcol, _ = probe.column(pk)
-            bv = jnp.take(bcol, cand_build_idx, mode="clip")
-            pv = jnp.take(pcol, cands.probe_idx, mode="clip")
-            gbv = gpv = True
+        bv, gbv = gbt.column(bk)
+        pv, gpv = gpt.column(pk)
         if bv.dtype != pv.dtype:
             wide = jnp.promote_types(bv.dtype, pv.dtype)
             bv, pv = bv.astype(wide), pv.astype(wide)
