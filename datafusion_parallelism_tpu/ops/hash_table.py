@@ -17,10 +17,10 @@ Two strategies (the engine's analog of the reference's `JoinReplacement` axis):
             no table memory, O(log n) gathers per probe row).
 
 Both produce, per probe row, a contiguous candidate range `[start, start+count)`
-in a row permutation — the shared `expand_candidates` then flattens the
-data-dependent 1:N matches into a static-capacity candidate list using the
-cumsum + searchsorted expansion idiom (replacing the reference's dynamic
-`UInt32BufferBuilder` loop in src/shared/shared.rs:29-47).
+in a row permutation — `probe_candidates` returns these as `CandidateRanges`
+and join.py flattens the data-dependent 1:N matches into static-capacity
+candidate lists via scatter + diff-cumsum row replication (replacing the
+reference's dynamic `UInt32BufferBuilder` loop in src/shared/shared.rs:29-47).
 """
 
 from __future__ import annotations
@@ -105,23 +105,20 @@ def build_join_table(hashes, key_valid, num_rows,
     return build_csr(hashes, key_valid, num_rows)
 
 
-class Candidates(NamedTuple):
-    """Flattened (probe row, build row) candidate pairs, static capacity.
-
-    `pos` is the candidate's position in the build perm order; `build_idx` is
-    the dereferenced row id `perm[pos]`. Consumers that store the build rows
-    physically in perm order (PreparedBuild.perm_rows) index with `pos`
-    directly and never touch `build_idx` — XLA then dead-code-eliminates the
-    perm gather entirely. `base`/`count` are the per-PROBE-row output range
-    (base = first output slot), kept for the scatter-based probe-row
-    replication in join.py."""
-    probe_idx: jnp.ndarray   # int32[out_cap]
-    build_idx: jnp.ndarray   # int32[out_cap] = perm[pos] (lazy: DCE'd if unused)
-    pos: jnp.ndarray         # int32[out_cap] position in perm order
-    valid: jnp.ndarray       # bool[out_cap]: real candidate AND hashes equal
-    total: jnp.ndarray       # int32 scalar: true candidate count (overflow check)
-    base: jnp.ndarray        # int32[m] first output slot per probe row
+class CandidateRanges(NamedTuple):
+    """Per-PROBE-row candidate ranges: row i's candidates live at perm
+    positions [start[i], start[i]+count[i]) and occupy output slots
+    [base[i], base[i]+count[i]). The flattening of these data-dependent 1:N
+    ranges into static-capacity candidate lists happens in join.py via the
+    scatter + diff-cumsum row replication (replicate_rows_exact): the probe
+    row id and `start - base` ride the replication as two sidecar words, so
+    the per-slot perm position is `replicated(start-base) + slot` and no
+    separate expansion scatter/cummax exists (this replaces the reference's
+    dynamic UInt32BufferBuilder loop in src/shared/shared.rs:29-47)."""
+    start: jnp.ndarray       # int32[m] first perm position per probe row
     count: jnp.ndarray       # int32[m] candidates per probe row
+    base: jnp.ndarray        # int32[m] first output slot per probe row
+    total: jnp.ndarray       # int32 scalar: candidate count (overflow check)
 
 
 def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
@@ -149,42 +146,9 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
     return start, count
 
 
-def expand_candidates(table: JoinTable, start: jnp.ndarray, count: jnp.ndarray,
-                      out_cap: int) -> Candidates:
-    """Expansion of variable-length candidate ranges into a flat list.
-
-    scatter + cummax, O(out_cap): each probe row with matches scatters ONE
-    packed int64 (probe row id << 32 | biased start-base) at its first
-    output slot; a prefix max fills the gaps — valid because the high word
-    strictly increases across segments and is constant within one. Both the
-    probe row id AND the perm position then come straight out of the filled
-    word: the only gather left in the whole expansion is perm[pos]."""
-    import jax.lax
-    cum = jnp.cumsum(count, dtype=jnp.int32)
-    total = cum[-1]
-    base_per_row = cum - count                      # first output slot per row
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    m = count.shape[0]
-    # low word: start - base + BIAS, biased nonnegative so packed ordering
-    # follows the high word (start-base can be negative)
-    bias = out_cap
-    packed = ((jnp.arange(m, dtype=jnp.int64) << jnp.int64(32))
-              | (start - base_per_row + bias).astype(jnp.int64))
-    marker = (jnp.zeros((out_cap,), jnp.int64)
-              .at[jnp.where(count > 0, base_per_row, out_cap)]
-              .max(packed, mode="drop"))
-    filled = jax.lax.cummax(marker)
-    probe_idx = (filled >> jnp.int64(32)).astype(jnp.int32)
-    pos = (jnp.bitwise_and(filled, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
-           - bias) + j
-    cand = j < total
-    build_idx = jnp.take(table.perm, pos, mode="clip")
-    return Candidates(probe_idx, build_idx, pos, cand, total,
-                      base_per_row, count)
-
-
 def probe_candidates(table: JoinTable, probe_hashes, probe_key_valid,
-                     probe_num_rows, out_cap: int) -> Candidates:
+                     probe_num_rows) -> CandidateRanges:
     start, count = probe_ranges(table, probe_hashes, probe_key_valid,
                                 probe_num_rows)
-    return expand_candidates(table, start, count, out_cap)
+    cum = jnp.cumsum(count, dtype=jnp.int32)
+    return CandidateRanges(start, count, cum - count, cum[-1])

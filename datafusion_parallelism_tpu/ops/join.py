@@ -30,7 +30,7 @@ from ..utils.columnar import (DeviceTable, PackedTable, Schema,
                               compaction_indices, gather_table,
                               hstack_tables, null_columns_like,
                               concat_tables, pack_table, unpack_table,
-                              replicate_packed, take_rows_fused,
+                              replicate_rows_exact, take_rows_fused,
                               filter_rows as _filter_rows)
 from typing import NamedTuple
 
@@ -94,7 +94,7 @@ class PreparedBuild(NamedTuple):
     `perm_rows` stores the packed build rows PHYSICALLY in perm (bucket)
     order with the original row id appended as one extra int32 word: the
     probe then fetches candidate rows (and their ids, for the visited mask)
-    directly at `Candidates.pos` with a single gather — the separate
+    directly at the candidate perm position with a single gather — the separate
     `perm[pos]` dereference gather disappears."""
     build: DeviceTable
     table: JoinTable
@@ -147,33 +147,48 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         bkv = _keys_valid(build, build_keys)
         table = build_join_table(bh, bkv, build.num_rows, strategy)
         bperm = None
-    cands = probe_candidates(table, ph, pkv, probe.num_rows, out_cap)
+    cr = probe_candidates(table, ph, pkv, probe.num_rows)
 
-    # ALL join types fetch candidate rows through the same two ops — the
-    # packed build rows stored in perm order are fetched at `pos` in ONE
-    # gather that also carries the build row id (for the visited mask), and
-    # the probe rows are REPLICATED into their candidate segments by
-    # scatter+diff-cumsum — no out_cap-size gather on the probe side at all.
+    # ALL join types fetch candidate rows through the same two ops:
+    #  * the probe rows are REPLICATED into their candidate segments by ONE
+    #    scatter + diff-cumsum (replicate_rows_exact) — no out_cap-size
+    #    gather or expansion scatter on the probe side at all. The probe row
+    #    id and the per-row `start - base` offset ride the replication as
+    #    two sidecar words, so the per-slot perm position `pos` and
+    #    `probe_idx` fall out arithmetically;
+    #  * the packed build rows stored in perm order are fetched at `pos` in
+    #    ONE gather that also carries the build row id (for the visited
+    #    mask).
     # The fetched rows cover every column + validity AND the key values for
     # the recheck (gathers cost per index, not per byte — see pack_table).
     # Semi/anti joins read only key columns and match flags from these;
     # XLA dead-code-eliminates the unpack of every untouched column and the
-    # pairs_table compaction, so there is no waste in the unified path (one
-    # W-wide row gather is cheaper than the perm dereference + per-key
-    # scalar gathers it replaces).
+    # pairs_table compaction, so there is no waste in the unified path.
     if bperm is None:
         bperm = _perm_rows(build, table)
-    gb_aug = bperm.take_rows(cands.pos)
+    mcap = probe.capacity
+    ppacked = pack_table(probe)
+    sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
+                         cr.start - cr.base], axis=0)
+    rep = replicate_rows_exact(
+        jnp.concatenate([ppacked.packed, sidecar], axis=0),
+        cr.base, cr.count, out_cap)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    probe_idx = rep[-2]
+    pos = rep[-1] + j
+    cand = j < cr.total
+    gp = PackedTable(rep[:-2],
+                     {k: jnp.take(v, probe_idx, mode="clip")
+                      for k, v in ppacked.f64s.items()},
+                     ppacked.layout)
+    gb_aug = bperm.take_rows(pos)
     cand_build_idx = gb_aug.packed[-1]
     gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
-    ppacked = pack_table(probe)
-    gp = replicate_packed(ppacked, cands.base, cands.count, out_cap,
-                          cands.probe_idx)
     gbt = unpack_table(gb, build.schema, out_cap)
     gpt = unpack_table(gp, probe.schema, out_cap)
 
     # key-equality recheck by value (hash collisions, reference equal_rows_arr)
-    eq = cands.valid
+    eq = cand
     for bk, pk in zip(build_keys, probe_keys):
         bv, gbv = gbt.column(bk)
         pv, gpv = gpt.column(pk)
@@ -193,7 +208,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     visited = jnp.zeros((bcap,), jnp.bool_).at[
         jnp.where(match, cand_build_idx, bcap)].set(True, mode="drop")
     probe_matched = jnp.zeros((mcap,), jnp.bool_).at[
-        jnp.where(match, cands.probe_idx, mcap)].set(True, mode="drop")
+        jnp.where(match, probe_idx, mcap)].set(True, mode="drop")
 
     build_in = build.row_mask()
     probe_in = probe.row_mask()
@@ -235,4 +250,4 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         result = _filter_rows(probe, probe_in & ~probe_matched)
     else:  # pragma: no cover
         raise ValueError(join_type)
-    return result, cands.total
+    return result, cr.total

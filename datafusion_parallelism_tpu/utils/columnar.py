@@ -537,11 +537,11 @@ def take_rows_fused(pts: Sequence[PackedTable], indices: jnp.ndarray
     return out
 
 
-def replicate_packed(pt: PackedTable, base: jnp.ndarray, count: jnp.ndarray,
-                     out_cap: int, fallback_idx: jnp.ndarray) -> PackedTable:
-    """Row replication WITHOUT a gather: expand row i of `pt` into output
-    slots [base[i], base[i]+count[i]) using a scatter-add of telescoping
-    int32 word differences followed by a cumsum.
+def replicate_rows_exact(p: jnp.ndarray, base: jnp.ndarray,
+                         count: jnp.ndarray, out_cap: int) -> jnp.ndarray:
+    """Row replication WITHOUT a gather: expand column i of the [W, m] int32
+    matrix `p` into output slots [base[i], base[i]+count[i]) using a
+    scatter-add of telescoping word differences followed by a cumsum.
 
     For every source row i (count 0 or not) the word-wise difference
     d_i = row_i - row_{i-1} (mod 2^32) is scatter-ADDED at slot base[i];
@@ -549,22 +549,17 @@ def replicate_packed(pt: PackedTable, base: jnp.ndarray, count: jnp.ndarray,
     base, so after a cumsum along the output axis each slot s holds exactly
     row_{K(s)} where K(s)=max{i: base[i]<=s} — the row whose segment covers
     s. All arithmetic wraps mod 2^32, so the reconstruction is BIT-EXACT for
-    every packed word (floats ride as bitcast words). Cost: one m-index
-    scatter + a bandwidth-bound cumsum, vs an out_cap-index gather (~9ns per
-    index on this hardware) — the win is out_cap/m * 9ns per output row.
-
-    f64 sidecar columns cannot ride int32 words under the TPU X64 rewrite,
-    so they fall back to a per-column gather at `fallback_idx` (the
-    replicated source row id per slot)."""
-    p = pt.packed                                     # [W, m]
+    every packed word (floats ride as bitcast words; f64 cannot — the TPU
+    X64 rewrite rejects the bitcast — so callers gather f64 sidecars at the
+    replicated row id instead). Cost: one m-index scatter + a
+    bandwidth-bound cumsum, vs an out_cap-index gather (~9ns per index on
+    this hardware) — the win is out_cap/m * 9ns per output row. Slots past
+    the last segment hold junk; callers mask with slot < total."""
     d = p - jnp.pad(p[:, :-1], ((0, 0), (1, 0)))      # d[:,0] = row 0
     dest = jnp.minimum(base, out_cap)                 # overflow slots drop
     scat = (jnp.zeros((p.shape[0], out_cap), p.dtype)
             .at[:, dest].add(d, mode="drop"))
-    rep = jnp.cumsum(scat, axis=1)
-    f64s = {k: jnp.take(v, fallback_idx, mode="clip")
-            for k, v in pt.f64s.items()}
-    return PackedTable(rep, f64s, pt.layout)
+    return jnp.cumsum(scat, axis=1)
 
 
 def packed_layout(schema: Schema) -> PackedLayout:
@@ -694,27 +689,27 @@ def hstack_tables(a: DeviceTable, b: DeviceTable, num_rows) -> DeviceTable:
 
 def concat_tables(parts: Sequence[DeviceTable]) -> DeviceTable:
     """Stack tables with identical schemas. Each part's valid rows are packed
-    at its front; result rows are compacted so all valid rows are contiguous."""
+    at its front; result rows are compacted so all valid rows are contiguous.
+
+    Each part is packed to its [W, cap] matrix and scattered ONCE into the
+    packed result (scatters cost per index like gathers, so one packed-row
+    scatter per part replaces 2 scatters per column per part); f64 sidecars
+    still scatter per column (no i32 bitcast under the TPU X64 rewrite)."""
     assert len(parts) >= 1
     schema = parts[0].schema
     total_cap = sum(p.capacity for p in parts)
-    # Global position of each part's row r: sum of previous num_rows + r.
-    idx_parts = []
+    layout = packed_layout(schema)
+    out = jnp.zeros((layout.width, total_cap), jnp.int32)
+    f64s = {n: jnp.zeros((total_cap,), jnp.float64) for n in layout.f64_fields}
     offset = jnp.int32(0)
     for p in parts:
         r = jnp.arange(p.capacity, dtype=jnp.int32)
-        in_row = r < p.num_rows
         # rows past num_rows scatter out of bounds and are dropped
-        idx_parts.append(jnp.where(in_row, offset + r, total_cap))
+        idx = jnp.where(r < p.num_rows, offset + r, total_cap)
+        pp = pack_table(p)
+        out = out.at[:, idx].set(pp.packed, mode="drop")
+        for n, v in pp.f64s.items():
+            f64s[n] = f64s[n].at[idx].set(v, mode="drop")
         offset = offset + p.num_rows
-    total = offset
-    cols = {}
-    for f in schema.fields:
-        vs = jnp.zeros((total_cap,), dtype=f.dtype.device_dtype)
-        vd = jnp.zeros((total_cap,), dtype=jnp.bool_)
-        for p, idx in zip(parts, idx_parts):
-            v, valid = p.columns[f.name]
-            vs = vs.at[idx].set(v, mode="drop")
-            vd = vd.at[idx].set(valid, mode="drop")
-        cols[f.name] = (vs, vd)
-    return DeviceTable(schema, cols, total)
+    # unscattered slots keep zeroed validity words -> whole row reads as null
+    return unpack_table(PackedTable(out, f64s, layout), schema, offset)
