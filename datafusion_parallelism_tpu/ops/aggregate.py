@@ -88,18 +88,31 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # padding rows sort to the top via a sentinel above any uint32
     sort_key = jnp.where(in_row, h.astype(jnp.int64), jnp.int64(1) << 33)
     perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
-    sorted_in_row = jnp.take(in_row, perm)
+    # padding sorts past every valid row, so sorted validity is a PREFIX
+    # mask — no gather of in_row through perm needed
+    n_valid = jnp.sum(in_row, dtype=jnp.int32)
+    sorted_in_row = jnp.arange(cap, dtype=jnp.int32) < n_valid
 
     # materialize the table in sorted order with ONE packed row-gather; all
-    # per-column reads below are then elementwise/shift ops, not gathers
-    st = gather_table(t, perm, t.num_rows)
+    # per-column reads below are then elementwise/shift ops, not gathers.
+    # The row hash rides the same gather as a sidecar word (gathers cost per
+    # index, not per byte) instead of a second cap-index gather.
+    from ..utils.columnar import PackedTable, pack_table, unpack_table
+    pt = pack_table(t)
+    aug = PackedTable(
+        jnp.concatenate([pt.packed,
+                         h.astype(jnp.uint32).view(jnp.int32)[None, :]],
+                        axis=0), pt.f64s, pt.layout)
+    g_ = aug.take_rows(perm)
+    hs = g_.packed[-1]          # int32 view; bit-pattern equality suffices
+    st = unpack_table(PackedTable(g_.packed[:-1], g_.f64s, pt.layout),
+                      t.schema, t.num_rows)
 
     def shift1(a):  # a[i-1] with a[-1] := a[0]
         return jnp.concatenate([a[:1], a[:-1]])
 
     # group boundary: first row, or any group-key column differs from previous
     boundary = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
-    hs = jnp.take(h, perm)
     boundary = boundary | (hs != shift1(hs))
     for k in group_keys:
         cv, cvalid = st.column(k)
@@ -129,7 +142,6 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # cheaper than a scatter-add over the full capacity (segment_sum)
     starts = bpos[:out_cap]
     g = jnp.arange(out_cap, dtype=jnp.int32)
-    n_valid = jnp.sum(in_row, dtype=jnp.int32)  # sorted valid prefix length
     ends = jnp.where(g + 1 < kept, jnp.take(bpos, g + 1, mode="clip") - 1,
                      jnp.maximum(n_valid - 1, 0))
 

@@ -38,6 +38,18 @@ class ExecutorMetrics:
         self.streamed_chunks = 0
 
 
+def _maybe_dump_hlo(lowered, tag: str):
+    """DFP_DUMP_HLO_DIR=<dir>: write each lowered program's StableHLO there
+    (with source-line attributions) before compiling — the way to find which
+    op a TPU compile-time OOM dump is pointing at."""
+    import os
+    d = os.environ.get("DFP_DUMP_HLO_DIR")
+    if d:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{tag}.mlir"), "w") as f:
+            f.write(lowered.as_text())
+
+
 class QueryHandle:
     """A compiled, re-runnable query (analog of a criterion-prepared plan,
     reference benches/utils/prepare_query.rs)."""
@@ -172,6 +184,7 @@ class QueryHandle:
         # through the plan instead of materializing it (out-of-core path —
         # the analog of the reference's streaming probe, inner.rs:48-75).
         import os
+        sp = None
         if not os.environ.get("DFP_NO_STREAM"):
             from .streaming import (plan_stream, run_streamed,
                                     stream_upload_bytes)
@@ -191,6 +204,30 @@ class QueryHandle:
                         skip_labels=(sp.scan.label,))
                     return run_streamed(self, sp, resident, live, adaptive)
 
+        try:
+            return self._run_resident(adaptive)
+        except jax.errors.JaxRuntimeError:
+            # an HBM compile/run OOM downgrades to the out-of-core path when
+            # one exists (the relay's compile error doesn't carry the OOM
+            # detail, so any runtime error on a streamable plan retries
+            # streamed; a genuine failure fails there too and propagates)
+            if sp is None:
+                raise
+            self._compiled = None
+            self._staged_compiled.clear()
+            # drop this handle's resident uploads so streaming starts with
+            # free HBM (keep other tables: the streamed plan re-requests them)
+            reg = self.catalog.get(sp.scan.table_name)
+            reg._device = None
+            if hasattr(reg, "_device_subsets"):
+                reg._device_subsets.clear()
+            live = self._live_columns().get(sp.scan.table_name)
+            resident = self._leaf_tables(skip_labels=(sp.scan.label,))
+            return run_streamed(self, sp, resident, live, adaptive)
+
+    def _run_resident(self, adaptive) -> DeviceTable:
+        plan = self.plan
+        import os
         tables = self._leaf_tables()
 
         # Staged execution for large plans: one XLA program holding every
@@ -222,7 +259,9 @@ class QueryHandle:
                     return out, totals
 
                 t0 = time.time()
-                self._compiled = jax.jit(fn).lower(tables).compile()
+                lowered = jax.jit(fn).lower(tables)
+                _maybe_dump_hlo(lowered, f"single_c{self.metrics.compile_count}")
+                self._compiled = lowered.compile()
                 # capacity defaults chosen at trace time are recorded in caps
                 self._caps.update(caps)
                 self._compiled_key = key
@@ -315,7 +354,10 @@ class QueryHandle:
                         return out, totals
 
                     t0 = time.time()
-                    compiled = jax.jit(fn).lower(tables, mat_list).compile()
+                    lowered = jax.jit(fn).lower(tables, mat_list)
+                    _maybe_dump_hlo(lowered, f"stage{stage_idx}"
+                                    f"_c{self.metrics.compile_count}")
+                    compiled = lowered.compile()
                     self._caps.update(caps)
                     self.metrics.compile_count += 1
                     self.metrics.compile_time_s += time.time() - t0
