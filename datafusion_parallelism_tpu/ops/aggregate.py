@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, DType, Field, Kind, Schema,
-                              FLOAT64, INT64, compaction_indices, gather_table)
+                              FLOAT64, INT64, compaction_indices)
 from .hashing import hash_rows
 
 
@@ -97,7 +97,8 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # per-column reads below are then elementwise/shift ops, not gathers.
     # The row hash rides the same gather as a sidecar word (gathers cost per
     # index, not per byte) instead of a second cap-index gather.
-    from ..utils.columnar import PackedTable, pack_table, unpack_table
+    from ..utils.columnar import (PackedTable, pack_table, scatter_compact,
+                                  unpack_table)
     pt = pack_table(t)
     aug = PackedTable(
         jnp.concatenate([pt.packed,
@@ -130,12 +131,18 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
 
     cols = {}
     kept = jnp.minimum(n_groups, out_cap)
-    # group key values: the first sorted row of each segment (one row-gather)
-    bpos, _ = compaction_indices(boundary)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < kept
-    rep = gather_table(st, bpos[:out_cap], kept, ok)
+    # group key values: the first sorted row of each segment, compacted with
+    # ONE wide scatter of the already-packed sorted rows (scatter_compact)
+    # instead of an index scatter + a row gather; XLA dead-code-eliminates
+    # the scattered words no group key reads
+    spt = PackedTable(g_.packed[:-1], g_.f64s, pt.layout)
+    (bt,), _ = scatter_compact([spt], boundary, out_cap)
+    rep = unpack_table(bt, t.schema, kept)
     for k in group_keys:
         cols[k] = rep.columns[k]
+    # boundary POSITIONS still feed the sorted-segment prefix-sum reductions
+    bpos, _ = compaction_indices(boundary)
 
     # segments are SORTED (rows grouped contiguously), so SUM-family
     # reductions are a prefix sum + two boundary gathers at out_cap — far

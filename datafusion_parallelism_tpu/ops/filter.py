@@ -13,8 +13,8 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..utils.columnar import (DeviceTable, compaction_indices, filter_rows,
-                              gather_table)
+from ..utils.columnar import (DeviceTable, filter_rows, pack_table,
+                              scatter_compact, unpack_table)
 from .expressions import Expr
 
 
@@ -26,7 +26,5 @@ def filter_table(t: DeviceTable, predicate: Expr,
     if out_cap is None or out_cap >= t.capacity:
         out = filter_rows(t, mask)
         return out, out.num_rows
-    gidx, n = compaction_indices(mask)
-    kept = jnp.minimum(n, out_cap)
-    row_valid = jnp.arange(out_cap, dtype=jnp.int32) < kept
-    return gather_table(t, gidx[:out_cap], kept, row_valid), n
+    (pt,), n = scatter_compact([pack_table(t)], mask, out_cap)
+    return unpack_table(pt, t.schema, jnp.minimum(n, out_cap)), n

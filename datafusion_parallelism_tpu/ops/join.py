@@ -27,10 +27,9 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, PackedTable, Schema,
-                              compaction_indices, gather_table,
                               hstack_tables, null_columns_like,
                               concat_tables, pack_table, unpack_table,
-                              replicate_rows_exact, take_rows_fused,
+                              replicate_rows_exact, scatter_compact,
                               filter_rows as _filter_rows)
 from typing import NamedTuple
 
@@ -214,11 +213,11 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     probe_in = probe.row_mask()
 
     def pairs_table() -> DeviceTable:
-        gidx, n = compaction_indices(match)
-        ok = jnp.arange(out_cap, dtype=jnp.int32) < n
-        cb, cp = take_rows_fused([gb, gp], gidx)
-        bt = unpack_table(cb, build.schema, n, ok)
-        pt = unpack_table(cp, probe.schema, n, ok)
+        # one wide scatter straight to compacted destinations (no index
+        # scatter + row gather pair) — see columnar.scatter_compact
+        (cb, cp), n = scatter_compact([gb, gp], match, out_cap)
+        bt = unpack_table(cb, build.schema, n)
+        pt = unpack_table(cp, probe.schema, n)
         return hstack_tables(bt, pt, n)
 
     def unmatched_build() -> DeviceTable:

@@ -40,8 +40,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.hash_table import JoinStrategy
 from ..ops.join import JoinType, hash_join, join_output_schema
-from ..utils.columnar import (DeviceTable, HostTable, Schema,
-                              compaction_indices, round_capacity)
+from ..utils.columnar import (DeviceTable, HostTable, PackedTable, Schema,
+                              pack_table, round_capacity, scatter_compact,
+                              unpack_table)
 from .mesh import PARTITION_AXIS
 from .shuffle import (gather_shards, local_table, partition_table,
                       replicating_shuffle, shuffle_by_hash, unlocal_table)
@@ -65,21 +66,24 @@ class DistJoinConfig:
 
 
 def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
-    """Replicate a sharded table to every device, compacting shard padding."""
+    """Replicate a sharded table to every device, compacting shard padding.
+
+    Packed form: ONE tiled all_gather moves every int32 column + validity
+    word (f64 sidecars ride their own — no f64<->i64 bitcast on TPU), and
+    ONE wide scatter compacts the shards' valid prefixes (scatter_compact) —
+    vs two collectives + two gathers per column unpacked."""
     P_ = lax.psum(1, axis)
     nr = lax.all_gather(t.num_rows, axis)                      # [P]
     cap = t.capacity
     mask = (jnp.arange(cap, dtype=jnp.int32)[None, :]
             < nr[:, None]).reshape(P_ * cap)
-    gidx, n = compaction_indices(mask)
-    in_row = jnp.arange(P_ * cap, dtype=jnp.int32) < n
-    cols = {}
-    for f in t.schema.fields:
-        v, valid = t.columns[f.name]
-        gv = lax.all_gather(v, axis).reshape(P_ * cap)
-        gvalid = lax.all_gather(valid, axis).reshape(P_ * cap)
-        cols[f.name] = (jnp.take(gv, gidx), jnp.take(gvalid, gidx) & in_row)
-    return DeviceTable(t.schema, cols, n)
+    pt = pack_table(t)
+    g = lax.all_gather(pt.packed, axis, axis=1, tiled=True)    # [W, P*cap]
+    f64s = {k: lax.all_gather(v, axis, tiled=True)
+            for k, v in pt.f64s.items()}
+    (cpt,), n = scatter_compact([PackedTable(g, f64s, pt.layout)],
+                                mask, P_ * cap)
+    return unpack_table(cpt, t.schema, n)
 
 
 def dist_join_shard(build: DeviceTable, probe: DeviceTable,

@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.hashing import hash_rows
-from ..utils.columnar import (DeviceTable, HostTable, Schema,
-                              compaction_indices, round_capacity)
+from ..utils.columnar import (DeviceTable, HostTable, PackedTable, Schema,
+                              pack_table, round_capacity, scatter_compact,
+                              unpack_table)
 from .mesh import PARTITION_AXIS
 
 
@@ -37,13 +38,15 @@ def route_of(hashes: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
 
 
 def _pack_by_dest(t: DeviceTable, dest: jnp.ndarray, P: int, send_cap: int):
-    """Pack rows into per-destination blocks.
+    """Pack rows into per-destination blocks of PACKED rows.
 
-    Returns (send_cols, send_valid, dropped):
-      send_cols[name] = (values[P, send_cap], validity[P, send_cap])
-      send_valid[P, send_cap]  row-is-real mask
-      dropped                  rows lost to send_cap overflow (scalar)
-    """
+    One fused row-gather moves every column + validity word at once
+    (gathers cost per index, not per byte — see utils.columnar.pack_table);
+    junk rows at clipped positions are dropped later by send_valid, so no
+    per-column validity masking happens here at all.
+
+    Returns (layout, send_packed[W, P, send_cap], f64_send, send_valid,
+    dropped)."""
     cap = t.capacity
     order = jnp.argsort(dest, stable=True).astype(jnp.int32)
     sorted_dest = jnp.take(dest, order)
@@ -54,29 +57,31 @@ def _pack_by_dest(t: DeviceTable, dest: jnp.ndarray, P: int, send_cap: int):
     pos = seg[:-1, None] + j[None, :]                # [P, send_cap]
     idx = jnp.take(order, jnp.minimum(pos, cap - 1))
     send_valid = j[None, :] < counts[:, None]
-    send_cols = {}
-    for f in t.schema.fields:
-        v, valid = t.columns[f.name]
-        send_cols[f.name] = (jnp.take(v, idx), jnp.take(valid, idx) & send_valid)
+    pt = pack_table(t)
+    send_packed = jnp.take(pt.packed, idx, axis=1)   # [W, P, send_cap]
+    f64_send = {k: jnp.take(v, idx) for k, v in pt.f64s.items()}
     dropped = jnp.sum(jnp.maximum(counts - send_cap, 0), dtype=jnp.int32)
-    return send_cols, send_valid, dropped
+    return pt.layout, send_packed, f64_send, send_valid, dropped
 
 
-def _exchange_and_compact(schema: Schema, send_cols, send_valid, P: int,
-                          send_cap: int, axis: str) -> DeviceTable:
-    """all_to_all the packed blocks and compact received rows to the front."""
+def _exchange_and_compact(schema: Schema, layout, send_packed, f64_send,
+                          send_valid, P: int, send_cap: int,
+                          axis: str) -> DeviceTable:
+    """all_to_all the packed blocks and compact received rows to the front.
+
+    ONE collective moves every int32 column (f64 sidecars ride their own —
+    the TPU X64 rewrite rejects f64<->i64 bitcasts so they cannot pack), and
+    ONE wide scatter compacts arrivals (scatter_compact) — vs two gathers
+    per column in the unpacked form."""
     recv_valid = lax.all_to_all(send_valid, axis, 0, 0)      # [P, send_cap]
     flat_valid = recv_valid.reshape(P * send_cap)
-    # stable compaction: valid rows to the front, in arrival order
-    gidx, n = compaction_indices(flat_valid)
-    in_row = jnp.arange(P * send_cap, dtype=jnp.int32) < n
-    cols = {}
-    for f in schema.fields:
-        sv, svalid = send_cols[f.name]
-        rv = lax.all_to_all(sv, axis, 0, 0).reshape(P * send_cap)
-        rvalid = lax.all_to_all(svalid, axis, 0, 0).reshape(P * send_cap)
-        cols[f.name] = (jnp.take(rv, gidx), jnp.take(rvalid, gidx) & in_row)
-    return DeviceTable(schema, cols, n)
+    recv = lax.all_to_all(send_packed, axis, 1, 1)           # [W, P, send_cap]
+    recv = recv.reshape(recv.shape[0], P * send_cap)
+    f64s = {k: lax.all_to_all(v, axis, 0, 0).reshape(P * send_cap)
+            for k, v in f64_send.items()}
+    (cpt,), n = scatter_compact([PackedTable(recv, f64s, layout)],
+                                flat_valid, P * send_cap)
+    return unpack_table(cpt, schema, n)
 
 
 def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
@@ -96,8 +101,10 @@ def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
         dest = dest_override
     # padding rows route to an out-of-range destination and are dropped
     dest = jnp.where(t.row_mask(), dest, P)
-    send_cols, send_valid, dropped = _pack_by_dest(t, dest, P, send_cap)
-    out = _exchange_and_compact(t.schema, send_cols, send_valid, P, send_cap, axis)
+    layout, send_packed, f64_send, send_valid, dropped = _pack_by_dest(
+        t, dest, P, send_cap)
+    out = _exchange_and_compact(t.schema, layout, send_packed, f64_send,
+                                send_valid, P, send_cap, axis)
     return out, lax.psum(dropped, axis)
 
 
@@ -125,12 +132,12 @@ def replicating_shuffle(t: DeviceTable, keys: List[str], send_cap: int,
 
     idx = jnp.minimum(jax.vmap(pick)(csum), cap - 1)           # [P, send_cap]
     send_valid = j[None, :] < counts[:, None]
-    send_cols = {}
-    for f in t.schema.fields:
-        v, valid = t.columns[f.name]
-        send_cols[f.name] = (jnp.take(v, idx), jnp.take(valid, idx) & send_valid)
+    pt = pack_table(t)
+    send_packed = jnp.take(pt.packed, idx, axis=1)             # one row-gather
+    f64_send = {k: jnp.take(v, idx) for k, v in pt.f64s.items()}
     dropped = jnp.sum(jnp.maximum(counts - send_cap, 0), dtype=jnp.int32)
-    out = _exchange_and_compact(t.schema, send_cols, send_valid, P, send_cap, axis)
+    out = _exchange_and_compact(t.schema, pt.layout, send_packed, f64_send,
+                                send_valid, P, send_cap, axis)
     return out, lax.psum(dropped, axis)
 
 

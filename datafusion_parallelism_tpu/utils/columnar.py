@@ -424,9 +424,8 @@ def compaction_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
     """Compact rows where mask is True to the front (stable order)."""
-    gather_idx, n = compaction_indices(mask)
-    row_valid = jnp.arange(t.capacity, dtype=jnp.int32) < n
-    return gather_table(t, gather_idx, n, row_valid)
+    (pt,), n = scatter_compact([pack_table(t)], mask, t.capacity)
+    return unpack_table(pt, t.schema, n)
 
 
 def null_columns_like(schema: Schema, capacity: int) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -535,6 +534,43 @@ def take_rows_fused(pts: Sequence[PackedTable], indices: jnp.ndarray
                                {k: g.f64s[k] for k in pt.f64s}, pt.layout))
         off += w
     return out
+
+
+def scatter_compact(pts: Sequence[PackedTable], mask: jnp.ndarray,
+                    out_cap: int) -> Tuple[List[PackedTable], jnp.ndarray]:
+    """Compact rows where mask is True to the front of out_cap-capacity
+    packed tables with ONE wide scatter: each surviving row writes itself
+    directly at its prefix-sum destination. This replaces the
+    compaction_indices idiom (a narrow index scatter + a wide row-gather —
+    TWO per-index ops; scatters and gathers both cost ~9 ns per index on
+    this hardware regardless of row width, so direct scatter halves the
+    cost of every compaction). Multiple tables compact in the same scatter
+    (stacked on the width axis, cf. take_rows_fused).
+
+    Survivors past out_cap drop; the returned n is the TRUE survivor count
+    for the caller's overflow check. Empty slots hold zeros, so unpacked
+    validity bits read False without any row_valid mask.
+    """
+    pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
+    keep = mask & (pos < out_cap)
+    dest = jnp.where(keep, pos, out_cap)
+    merged = (pts[0].packed if len(pts) == 1 else
+              jnp.concatenate([pt.packed for pt in pts], axis=0))
+    out = (jnp.zeros((merged.shape[0], out_cap), merged.dtype)
+           .at[:, dest].set(merged, mode="drop"))
+    f64out: Dict[str, jnp.ndarray] = {}
+    for pt in pts:
+        for k, v in pt.f64s.items():
+            assert k not in f64out, f"duplicate f64 column {k!r} in fused scatter"
+            f64out[k] = jnp.zeros((out_cap,), v.dtype).at[dest].set(v, mode="drop")
+    n = jnp.sum(mask, dtype=jnp.int32)
+    res, off = [], 0
+    for pt in pts:
+        w = pt.packed.shape[0]
+        res.append(PackedTable(out[off:off + w],
+                               {k: f64out[k] for k in pt.f64s}, pt.layout))
+        off += w
+    return res, n
 
 
 def replicate_rows_exact(p: jnp.ndarray, base: jnp.ndarray,
