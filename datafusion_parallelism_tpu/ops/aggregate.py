@@ -97,7 +97,7 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # per-column reads below are then elementwise/shift ops, not gathers.
     # The row hash rides the same gather as a sidecar word (gathers cost per
     # index, not per byte) instead of a second cap-index gather.
-    from ..utils.columnar import (PackedTable, pack_table, scatter_compact,
+    from ..utils.columnar import (PackedTable, pack_table, compact_rows,
                                   unpack_table)
     pt = pack_table(t)
     aug = PackedTable(
@@ -132,12 +132,12 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     cols = {}
     kept = jnp.minimum(n_groups, out_cap)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < kept
-    # group key values: the first sorted row of each segment, compacted with
-    # ONE wide scatter of the already-packed sorted rows (scatter_compact)
-    # instead of an index scatter + a row gather; XLA dead-code-eliminates
-    # the scattered words no group key reads
+    # group key values: the first sorted row of each segment, compacted from
+    # the already-packed sorted rows in ONE fused row-gather (compact_rows)
+    # instead of two gathers per column; XLA dead-code-eliminates the
+    # gathered words no group key reads
     spt = PackedTable(g_.packed[:-1], g_.f64s, pt.layout)
-    (bt,), _ = scatter_compact([spt], boundary, out_cap)
+    (bt,), _ = compact_rows([spt], boundary, out_cap)
     rep = unpack_table(bt, t.schema, kept)
     for k in group_keys:
         cols[k] = rep.columns[k]

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, filter_rows, pack_table,
-                              scatter_compact, unpack_table)
+                              compact_rows, unpack_table)
 from .expressions import Expr
 
 
@@ -26,5 +26,5 @@ def filter_table(t: DeviceTable, predicate: Expr,
     if out_cap is None or out_cap >= t.capacity:
         out = filter_rows(t, mask)
         return out, out.num_rows
-    (pt,), n = scatter_compact([pack_table(t)], mask, out_cap)
+    (pt,), n = compact_rows([pack_table(t)], mask, out_cap)
     return unpack_table(pt, t.schema, jnp.minimum(n, out_cap)), n

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..utils.columnar import (DeviceTable, PackedTable, Schema,
                               hstack_tables, null_columns_like,
                               concat_tables, pack_table, unpack_table,
-                              replicate_rows_exact, scatter_compact,
+                              replicate_rows_exact, compact_rows,
                               filter_rows as _filter_rows)
 from typing import NamedTuple
 
@@ -213,9 +213,8 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     probe_in = probe.row_mask()
 
     def pairs_table() -> DeviceTable:
-        # one wide scatter straight to compacted destinations (no index
-        # scatter + row gather pair) — see columnar.scatter_compact
-        (cb, cp), n = scatter_compact([gb, gp], match, out_cap)
+        # both sides compact in ONE fused row-gather — see compact_rows
+        (cb, cp), n = compact_rows([gb, gp], match, out_cap)
         bt = unpack_table(cb, build.schema, n)
         pt = unpack_table(cp, probe.schema, n)
         return hstack_tables(bt, pt, n)

@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.hash_table import JoinStrategy
 from ..ops.join import JoinType, hash_join, join_output_schema
 from ..utils.columnar import (DeviceTable, HostTable, PackedTable, Schema,
-                              pack_table, round_capacity, scatter_compact,
+                              pack_table, round_capacity, compact_rows,
                               unpack_table)
 from .mesh import PARTITION_AXIS
 from .shuffle import (gather_shards, local_table, partition_table,
@@ -70,8 +70,8 @@ def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
 
     Packed form: ONE tiled all_gather moves every int32 column + validity
     word (f64 sidecars ride their own — no f64<->i64 bitcast on TPU), and
-    ONE wide scatter compacts the shards' valid prefixes (scatter_compact) —
-    vs two collectives + two gathers per column unpacked."""
+    ONE fused row-gather compacts the shards' valid prefixes (compact_rows)
+    — vs two collectives + two gathers per column unpacked."""
     P_ = lax.psum(1, axis)
     nr = lax.all_gather(t.num_rows, axis)                      # [P]
     cap = t.capacity
@@ -81,7 +81,7 @@ def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
     g = lax.all_gather(pt.packed, axis, axis=1, tiled=True)    # [W, P*cap]
     f64s = {k: lax.all_gather(v, axis, tiled=True)
             for k, v in pt.f64s.items()}
-    (cpt,), n = scatter_compact([PackedTable(g, f64s, pt.layout)],
+    (cpt,), n = compact_rows([PackedTable(g, f64s, pt.layout)],
                                 mask, P_ * cap)
     return unpack_table(cpt, t.schema, n)
 

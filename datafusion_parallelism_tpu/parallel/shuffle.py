@@ -25,7 +25,7 @@ from jax import lax
 
 from ..ops.hashing import hash_rows
 from ..utils.columnar import (DeviceTable, HostTable, PackedTable, Schema,
-                              pack_table, round_capacity, scatter_compact,
+                              pack_table, round_capacity, compact_rows,
                               unpack_table)
 from .mesh import PARTITION_AXIS
 
@@ -71,7 +71,7 @@ def _exchange_and_compact(schema: Schema, layout, send_packed, f64_send,
 
     ONE collective moves every int32 column (f64 sidecars ride their own —
     the TPU X64 rewrite rejects f64<->i64 bitcasts so they cannot pack), and
-    ONE wide scatter compacts arrivals (scatter_compact) — vs two gathers
+    ONE fused row-gather compacts arrivals (compact_rows) — vs two gathers
     per column in the unpacked form."""
     recv_valid = lax.all_to_all(send_valid, axis, 0, 0)      # [P, send_cap]
     flat_valid = recv_valid.reshape(P * send_cap)
@@ -79,7 +79,7 @@ def _exchange_and_compact(schema: Schema, layout, send_packed, f64_send,
     recv = recv.reshape(recv.shape[0], P * send_cap)
     f64s = {k: lax.all_to_all(v, axis, 0, 0).reshape(P * send_cap)
             for k, v in f64_send.items()}
-    (cpt,), n = scatter_compact([PackedTable(recv, f64s, layout)],
+    (cpt,), n = compact_rows([PackedTable(recv, f64s, layout)],
                                 flat_valid, P * send_cap)
     return unpack_table(cpt, schema, n)
 
