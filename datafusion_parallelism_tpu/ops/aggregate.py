@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.columnar import (DeviceTable, DType, Field, Kind, Schema,
-                              FLOAT64, INT64, compaction_indices)
+                              FLOAT64, INT64, compaction_indices, filter_rows)
 from .hashing import hash_rows
 
 
@@ -62,6 +62,141 @@ def hash_aggregate(t: DeviceTable, group_keys: List[str],
     return result[0]
 
 
+# Direct (sort-free) aggregation kicks in when the product of the group-key
+# code domains is at most this. The masked [G, cap] reductions read each agg
+# column G times, so the threshold bounds bandwidth, and XLA fuses the
+# broadcast-compare-select into the reduction (no [G, cap] materialization).
+_DIRECT_MAX_GROUPS = 64
+
+
+def _direct_domains(schema: Schema, group_keys: List[str]) -> Optional[List[int]]:
+    """Per-key static code domains when EVERY group key is dictionary- or
+    bool-encoded and the group-id space stays tiny; None otherwise. Domain d
+    means codes in [0, d); slot d encodes NULL (SQL groups NULLs together)."""
+    doms = []
+    total = 1
+    for k in group_keys:
+        f = schema.field(k)
+        if f.dtype.kind is Kind.STRING and f.dictionary is not None:
+            doms.append(len(f.dictionary.values))
+        elif f.dtype.kind is Kind.BOOL:
+            doms.append(2)
+        else:
+            return None
+        total *= doms[-1] + 1
+        if total > _DIRECT_MAX_GROUPS:
+            return None
+    return doms
+
+
+def _resize_cols(cols, out_schema: Schema, G: int, out_cap: int):
+    """Pad or slice [G] columns to the caller's static out_cap capacity."""
+    out = {}
+    for f in out_schema.fields:
+        v, valid = cols[f.name]
+        if out_cap > G:
+            v = jnp.concatenate(
+                [v, jnp.zeros((out_cap - G,), v.dtype)])
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((out_cap - G,), jnp.bool_)])
+        elif out_cap < G:
+            v, valid = v[:out_cap], valid[:out_cap]
+        out[f.name] = (v, valid)
+    return out
+
+
+def _direct_aggregate(t: DeviceTable, group_keys: List[str],
+                      aggs: List[AggSpec], doms: List[int], out_cap: int,
+                      out_schema: Schema, row_filter):
+    """Perfect (sort-free, hash-free) grouping over static code domains.
+
+    The reference's grouping always walks a hash table; ours normally sorts
+    by hash (see hash_aggregate_counted below). When every group key is a
+    dictionary code (TPC-H Q1's returnflag x linestatus) the group id is
+    arithmetic on the codes, and each aggregate is a fused masked reduction
+    over [G, cap] — no argsort, no row gather, no scatter. Group output
+    order is gid order == dictionary code order (dictionaries are sorted,
+    so this is deterministic and sorted by key).
+    """
+    cap = t.capacity
+    in_row = t.row_mask()
+    if row_filter is not None:
+        in_row = in_row & row_filter
+    G = 1
+    for d in doms:
+        G *= d + 1
+    gid = jnp.zeros((cap,), jnp.int32)
+    for k, d in zip(group_keys, doms):
+        v, valid = t.column(k)
+        code = jnp.where(valid, v.astype(jnp.int32), d)
+        gid = gid * (d + 1) + code
+    # rows outside the filter match no group slot
+    gid = jnp.where(in_row, gid, G)
+    onehot = gid[None, :] == jnp.arange(G, dtype=jnp.int32)[:, None]  # [G,cap]
+
+    def gsum(data, mask):
+        sel = jnp.where(onehot & mask[None, :], data[None, :],
+                        jnp.zeros((), data.dtype))
+        return jnp.sum(sel, axis=1)
+
+    rowcount = jnp.sum(onehot, axis=1, dtype=jnp.int64)
+    exists = rowcount > 0
+    n_groups = jnp.sum(exists, dtype=jnp.int32)
+
+    cols = {}
+    # group key values decode arithmetically from the group id
+    rem = jnp.arange(G, dtype=jnp.int32)
+    for k, d in zip(reversed(group_keys), reversed(doms)):
+        code = rem % (d + 1)
+        rem = rem // (d + 1)
+        kvalid = exists & (code != d)
+        f = t.schema.field(k)
+        if f.dtype.kind is Kind.BOOL:
+            cols[k] = (code == 1, kvalid)
+        else:  # dictionary codes; clamp the NULL slot so host decode is safe
+            cols[k] = (jnp.clip(code, 0, max(d - 1, 0)), kvalid)
+
+    for a in aggs:
+        if a.func == "count_star":
+            cols[a.output] = (rowcount, exists)
+            continue
+        sv, svalid = t.column(a.input)
+        cnt = gsum(jnp.ones((cap,), jnp.int64), svalid)
+        if a.func == "count":
+            cols[a.output] = (cnt, exists)
+            continue
+        out_dt = out_schema.field(a.output).dtype
+        if a.func in ("sum", "avg"):
+            acc_dtype = jnp.float64 if out_dt.kind is Kind.FLOAT64 else jnp.int64
+            if sv.dtype in (jnp.float32, jnp.float64):
+                acc_dtype = jnp.float64
+            s = gsum(sv.astype(acc_dtype), svalid)
+            if a.func == "avg":
+                c = jnp.maximum(cnt, 1)
+                v = s.astype(jnp.float64) / c
+                if t.schema.field(a.input).dtype.kind is Kind.DECIMAL:
+                    v = v / (10.0 ** t.schema.field(a.input).dtype.scale)
+                cols[a.output] = (v, exists & (cnt > 0))
+            else:
+                cols[a.output] = (s.astype(out_dt.device_dtype),
+                                  exists & (cnt > 0))
+        elif a.func in ("min", "max"):
+            fill = _dtype_max(sv.dtype) if a.func == "min" else _dtype_min(sv.dtype)
+            sel = jnp.where(onehot & svalid[None, :], sv[None, :], fill)
+            v = (jnp.min(sel, axis=1) if a.func == "min"
+                 else jnp.max(sel, axis=1))
+            cols[a.output] = (v.astype(out_dt.device_dtype), exists & (cnt > 0))
+        else:
+            raise ValueError(a.func)
+
+    # compact existing groups to the front (G is tiny), then match the
+    # caller's static output capacity
+    out = filter_rows(DeviceTable(out_schema, cols, jnp.int32(G)), exists)
+    kept = jnp.minimum(n_groups, out_cap)
+    cols = _resize_cols(out.columns, out_schema, G, out_cap)
+    return DeviceTable(out_schema, cols, kept), n_groups
+
+
 def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
                            aggs: List[AggSpec],
                            out_cap: Optional[int] = None,
@@ -78,6 +213,11 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
         return g, g.num_rows
     if out_cap is None or out_cap > cap:
         out_cap = cap
+
+    doms = _direct_domains(t.schema, group_keys)
+    if doms is not None:
+        return _direct_aggregate(t, group_keys, aggs, doms, out_cap,
+                                 out_schema, row_filter)
 
     in_row = t.row_mask()
     if row_filter is not None:
