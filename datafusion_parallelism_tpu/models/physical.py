@@ -173,9 +173,7 @@ class PHashJoin(PhysicalPlan):
         return (f"HashJoin[{self.join_type.value}/{self.strategy.value}] "
                 f"on {list(zip(self.build_keys, self.probe_keys))}{r}")
 
-    def execute(self, tables, ctx):
-        if self.join_id in ctx.materialized:   # staged execution boundary
-            return ctx.materialized[self.join_id]
+    def _inputs_and_cap(self, tables, ctx):
         prepared = ctx.prepared.get(self.join_id)
         b = (prepared.build if prepared is not None
              else self.build.execute(tables, ctx))
@@ -198,11 +196,31 @@ class PHashJoin(PhysicalPlan):
         if self.residual is not None:
             res = self.residual
             residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
+        return b, p, cap, residual_fn, prepared
+
+    def execute(self, tables, ctx):
+        if self.join_id in ctx.materialized:   # staged execution boundary
+            return ctx.materialized[self.join_id]
+        b, p, cap, residual_fn, prepared = self._inputs_and_cap(tables, ctx)
         out, total = hash_join(b, p, self.build_keys, self.probe_keys,
                                self.join_type, cap, strategy=self.strategy,
                                residual=residual_fn, prepared=prepared)
         ctx.join_totals[self.join_id] = total
         return out
+
+    def execute_expanded(self, tables, ctx):
+        """INNER-only late-materialized execution for aggregate fusion:
+        (uncompacted pair table, match mask) — the caller fuses the mask as
+        an aggregate row filter instead of compacting pairs (ops/join.py
+        hash_join `expanded`). Capacity bookkeeping matches execute()."""
+        b, p, cap, residual_fn, prepared = self._inputs_and_cap(tables, ctx)
+        out, match, total = hash_join(b, p, self.build_keys, self.probe_keys,
+                                      self.join_type, cap,
+                                      strategy=self.strategy,
+                                      residual=residual_fn,
+                                      prepared=prepared, expanded=True)
+        ctx.join_totals[self.join_id] = total
+        return out, match
 
 
 @dataclass
@@ -233,19 +251,39 @@ class PAggregate(PhysicalPlan):
         through its grouping sort — either way the filter's own row-gather
         disappears. Projections are elementwise and row-aligned, so the mask
         stays valid across them. (Streaming execution reuses this for the
-        per-chunk partial aggregate.)"""
+        per-chunk partial aggregate.)
+
+        An INNER join directly under the chain fuses the same way (late
+        materialization): the aggregate reads the join's UNCOMPACTED
+        candidate slots with the match mask as its row filter, skipping the
+        pair compaction and the materialized intermediate entirely."""
         import jax.numpy as jnp
+
+        def fusable_join(n):
+            return (isinstance(n, PHashJoin)
+                    and n.join_type is JoinType.INNER
+                    and n.join_id not in ctx.materialized)
+
         projs = []
         node = self.child
         while isinstance(node, PProject):
             projs.append(node)
             node = node.child
-        if isinstance(node, PFilter) and not isinstance(node.child, PFilter):
-            inner = node.child.execute(tables, ctx)
-            v, valid, _ = node.predicate.eval(inner)
-            row_filter = valid & v.astype(jnp.bool_)
+
+        child = row_filter = None
+        if fusable_join(node):
+            child, row_filter = node.execute_expanded(tables, ctx)
+        elif isinstance(node, PFilter) and not isinstance(node.child, PFilter):
+            if fusable_join(node.child):
+                child, match = node.child.execute_expanded(tables, ctx)
+                v, valid, _ = node.predicate.eval(child)
+                row_filter = match & valid & v.astype(jnp.bool_)
+            else:
+                child = node.child.execute(tables, ctx)
+                v, valid, _ = node.predicate.eval(child)
+                row_filter = valid & v.astype(jnp.bool_)
             ctx.join_totals[node.node_id] = jnp.int32(0)
-            child = inner
+        if child is not None:
             for p in reversed(projs):
                 child = project_table(child, p.exprs, p.out_fields)
             return child, row_filter

@@ -122,7 +122,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
               strategy: JoinStrategy = JoinStrategy.CSR,
               residual: Optional[Callable[[DeviceTable], Tuple[jnp.ndarray, jnp.ndarray]]] = None,
               prepared: Optional[PreparedBuild] = None,
-              ) -> Tuple[DeviceTable, jnp.ndarray]:
+              expanded: bool = False):
     """Join two device tables. Fully jit-traceable, static shapes.
 
     residual: optional predicate over the candidate pair table returning
@@ -131,6 +131,13 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
 
     Returns (result, candidate_total). The caller must check
     candidate_total <= out_cap and retry with a larger out_cap otherwise.
+
+    expanded (INNER only): LATE MATERIALIZATION — return
+    (pair table, match, candidate_total) where the pair table is the
+    UNCOMPACTED candidate slots (capacity == num_rows == out_cap) and match
+    flags the real pairs. Callers that fuse the mask downstream (aggregate
+    row_filter) skip the pair compaction — an index scatter plus an
+    out_cap-index row gather — and the materialized intermediate.
     """
     assert len(build_keys) == len(probe_keys) >= 1
     if prepared is not None:
@@ -201,6 +208,10 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         pair_tbl = hstack_tables(gbt, gpt, out_cap)
         rvals, rvalid = residual(pair_tbl)
         match = match & rvalid & rvals
+
+    if expanded:
+        assert join_type is JoinType.INNER, join_type
+        return hstack_tables(gbt, gpt, out_cap), match, cr.total
 
     # visited/matched flags (reference ConcurrentBitSet analog)
     bcap, mcap = build.capacity, probe.capacity
