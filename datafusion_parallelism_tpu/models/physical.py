@@ -173,11 +173,24 @@ class PHashJoin(PhysicalPlan):
         return (f"HashJoin[{self.join_type.value}/{self.strategy.value}] "
                 f"on {list(zip(self.build_keys, self.probe_keys))}{r}")
 
+    # join types whose execution can be returned late-materialized as
+    # (uncompacted table, mask) — see ops/join.py hash_join `expanded`
+    EXPANDABLE = (JoinType.INNER, JoinType.LEFT_SEMI, JoinType.LEFT_ANTI,
+                  JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI)
+
     def _inputs_and_cap(self, tables, ctx):
+        """Chain fusion: an input that is itself an expandable join executes
+        late-materialized — (uncompacted table, mask) — and the mask rides
+        into hash_join as build_valid/probe_valid, erasing the child's
+        compaction (capacity is identical either way, so every downstream
+        cost is unchanged)."""
         prepared = ctx.prepared.get(self.join_id)
-        b = (prepared.build if prepared is not None
-             else self.build.execute(tables, ctx))
-        p = self.probe.execute(tables, ctx)
+        b_valid = None
+        if prepared is not None:
+            b = prepared.build
+        else:
+            b, b_valid = _execute_maybe_expanded(self.build, tables, ctx)
+        p, p_valid = _execute_maybe_expanded(self.probe, tables, ctx)
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
             if self.est_rows > 0:
@@ -196,31 +209,67 @@ class PHashJoin(PhysicalPlan):
         if self.residual is not None:
             res = self.residual
             residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
-        return b, p, cap, residual_fn, prepared
+        return b, p, cap, residual_fn, prepared, b_valid, p_valid
 
     def execute(self, tables, ctx):
         if self.join_id in ctx.materialized:   # staged execution boundary
             return ctx.materialized[self.join_id]
-        b, p, cap, residual_fn, prepared = self._inputs_and_cap(tables, ctx)
+        (b, p, cap, residual_fn, prepared,
+         b_valid, p_valid) = self._inputs_and_cap(tables, ctx)
         out, total = hash_join(b, p, self.build_keys, self.probe_keys,
                                self.join_type, cap, strategy=self.strategy,
-                               residual=residual_fn, prepared=prepared)
+                               residual=residual_fn, prepared=prepared,
+                               build_valid=b_valid, probe_valid=p_valid)
         ctx.join_totals[self.join_id] = total
         return out
 
     def execute_expanded(self, tables, ctx):
-        """INNER-only late-materialized execution for aggregate fusion:
-        (uncompacted pair table, match mask) — the caller fuses the mask as
-        an aggregate row filter instead of compacting pairs (ops/join.py
-        hash_join `expanded`). Capacity bookkeeping matches execute()."""
-        b, p, cap, residual_fn, prepared = self._inputs_and_cap(tables, ctx)
+        """Late-materialized execution for aggregate fusion: (table, mask) —
+        the caller fuses the mask as an aggregate row filter instead of
+        compacting (ops/join.py hash_join `expanded`). INNER returns the
+        uncompacted pair table + match; semi/anti return the surviving
+        input side + its flag. Capacity bookkeeping matches execute()."""
+        (b, p, cap, residual_fn, prepared,
+         b_valid, p_valid) = self._inputs_and_cap(tables, ctx)
         out, match, total = hash_join(b, p, self.build_keys, self.probe_keys,
                                       self.join_type, cap,
                                       strategy=self.strategy,
                                       residual=residual_fn,
-                                      prepared=prepared, expanded=True)
+                                      prepared=prepared, expanded=True,
+                                      build_valid=b_valid,
+                                      probe_valid=p_valid)
         ctx.join_totals[self.join_id] = total
         return out, match
+
+
+def _expandable_join(n, ctx) -> bool:
+    """Can `n` execute late-materialized (execute_expanded) here? Joins
+    already materialized at a staged boundary must be consumed as-is.
+    DFP_NO_LATE_MAT=1 disables join late materialization entirely (perf
+    A/B valve; filter-into-aggregate fusion is unaffected)."""
+    import os
+    if os.environ.get("DFP_NO_LATE_MAT"):
+        return False
+    return (isinstance(n, PHashJoin)
+            and n.join_type in PHashJoin.EXPANDABLE
+            and n.join_id not in ctx.materialized)
+
+
+def _execute_maybe_expanded(node, tables, ctx):
+    """(table, mask|None): execute `node` late-materialized if it is an
+    expandable join, looking through any PProject chain (projections are
+    elementwise and row-aligned, so they commute with the mask)."""
+    projs = []
+    n = node
+    while isinstance(n, PProject):
+        projs.append(n)
+        n = n.child
+    if _expandable_join(n, ctx):
+        t, mask = n.execute_expanded(tables, ctx)
+        for pr in reversed(projs):
+            t = project_table(t, pr.exprs, pr.out_fields)
+        return t, mask
+    return node.execute(tables, ctx), None
 
 
 @dataclass
@@ -256,13 +305,13 @@ class PAggregate(PhysicalPlan):
         An INNER join directly under the chain fuses the same way (late
         materialization): the aggregate reads the join's UNCOMPACTED
         candidate slots with the match mask as its row filter, skipping the
-        pair compaction and the materialized intermediate entirely."""
+        pair compaction and the materialized intermediate entirely.
+        Semi/anti joins fuse even better: their result IS one input table
+        masked, so the fused form is that table + its visited/match flag —
+        the join's compaction gather disappears outright."""
         import jax.numpy as jnp
 
-        def fusable_join(n):
-            return (isinstance(n, PHashJoin)
-                    and n.join_type is JoinType.INNER
-                    and n.join_id not in ctx.materialized)
+        fusable_join = lambda n: _expandable_join(n, ctx)
 
         projs = []
         node = self.child

@@ -122,7 +122,9 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
               strategy: JoinStrategy = JoinStrategy.CSR,
               residual: Optional[Callable[[DeviceTable], Tuple[jnp.ndarray, jnp.ndarray]]] = None,
               prepared: Optional[PreparedBuild] = None,
-              expanded: bool = False):
+              expanded: bool = False,
+              build_valid: Optional[jnp.ndarray] = None,
+              probe_valid: Optional[jnp.ndarray] = None):
     """Join two device tables. Fully jit-traceable, static shapes.
 
     residual: optional predicate over the candidate pair table returning
@@ -132,12 +134,22 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     Returns (result, candidate_total). The caller must check
     candidate_total <= out_cap and retry with a larger out_cap otherwise.
 
-    expanded (INNER only): LATE MATERIALIZATION — return
-    (pair table, match, candidate_total) where the pair table is the
-    UNCOMPACTED candidate slots (capacity == num_rows == out_cap) and match
-    flags the real pairs. Callers that fuse the mask downstream (aggregate
+    expanded (INNER/semi/anti): LATE MATERIALIZATION — return
+    (table, mask, candidate_total). For INNER the table is the UNCOMPACTED
+    candidate slots (capacity == num_rows == out_cap) and mask flags the
+    real pairs; callers that fuse the mask downstream (aggregate
     row_filter) skip the pair compaction — an index scatter plus an
-    out_cap-index row gather — and the materialized intermediate.
+    out_cap-index row gather — and the materialized intermediate. For
+    semi/anti the table is the surviving INPUT side itself (build for
+    LEFT_*, probe for RIGHT_*) and the mask is its match/visited flag, so
+    the join emits no gathers at all beyond the probe.
+
+    build_valid / probe_valid: CHAIN FUSION — an input side may itself be
+    another join's expanded output: the same capacity of uncompacted rows
+    plus this validity mask. Masked rows are excluded from the build table
+    buckets / probe candidates / outer-unmatched sets; the child join's
+    compaction (its only cost difference, since compaction preserves
+    capacity) disappears. Incompatible with `prepared` on the build side.
     """
     assert len(build_keys) == len(probe_keys) >= 1
     if prepared is not None:
@@ -148,11 +160,17 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
 
     ph = hash_rows([probe.column(k) for k in probe_keys])
     pkv = _keys_valid(probe, probe_keys)
+    if probe_valid is not None:
+        pkv = pkv & probe_valid
     if prepared is None:
         bh = hash_rows([build.column(k) for k in build_keys])
         bkv = _keys_valid(build, build_keys)
+        if build_valid is not None:
+            bkv = bkv & build_valid
         table = build_join_table(bh, bkv, build.num_rows, strategy)
         bperm = None
+    else:
+        assert build_valid is None, "prepared build cannot carry a mask"
     cr = probe_candidates(table, ph, pkv, probe.num_rows)
 
     # ALL join types fetch candidate rows through the same two ops:
@@ -209,8 +227,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         rvals, rvalid = residual(pair_tbl)
         match = match & rvalid & rvals
 
-    if expanded:
-        assert join_type is JoinType.INNER, join_type
+    if expanded and join_type is JoinType.INNER:
         return hstack_tables(gbt, gpt, out_cap), match, cr.total
 
     # visited/matched flags (reference ConcurrentBitSet analog)
@@ -222,6 +239,24 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
 
     build_in = build.row_mask()
     probe_in = probe.row_mask()
+    if build_valid is not None:
+        build_in = build_in & build_valid
+    if probe_valid is not None:
+        probe_in = probe_in & probe_valid
+
+    if expanded:
+        # semi/anti late materialization: the result IS one input table
+        # masked — return it uncompacted with the mask, skipping
+        # _filter_rows' scatter+gather entirely.
+        if join_type is JoinType.LEFT_SEMI:
+            return build, build_in & visited, cr.total
+        if join_type is JoinType.LEFT_ANTI:
+            return build, build_in & ~visited, cr.total
+        if join_type is JoinType.RIGHT_SEMI:
+            return probe, probe_in & probe_matched, cr.total
+        if join_type is JoinType.RIGHT_ANTI:
+            return probe, probe_in & ~probe_matched, cr.total
+        raise ValueError(f"expanded unsupported for {join_type}")
 
     def pairs_table() -> DeviceTable:
         # both sides compact in ONE fused row-gather — see compact_rows

@@ -252,3 +252,49 @@ def test_four_way_star_join():
     expected = sum(i + (i % 8) * 10 + (i % 4) * 100 + (i % 2) * 1000
                    for i in range(n))
     assert h.collect().to_pylist() == [{"s": expected}]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_aggregate_over_semi_join_fused(strategy):
+    # aggregate directly over EXISTS (semi join): exercises the expanded
+    # (late-materialized) join path — the join returns its input side +
+    # match mask and the aggregate fuses the mask as a row filter
+    ctx = make_ctx(strategy)
+    h = ctx.sql("SELECT a_id, SUM(a_val) AS s, COUNT(*) AS c FROM ta "
+                "WHERE EXISTS (SELECT * FROM tc WHERE tc.c_id = ta.a_id) "
+                "GROUP BY a_id ORDER BY a_id")
+    got = h.collect().to_pylist()
+    sem = oracle_join(rows_of(ctx, "ta"), rows_of(ctx, "tc"),
+                      ["a_id"], ["c_id"], "left_semi")
+    exp = {}
+    for r in sem:
+        s, c = exp.get(r["a_id"], (0, 0))
+        exp[r["a_id"]] = (s + r["a_val"], c + 1)
+    expected = [{"a_id": k, "s": v[0], "c": v[1]} for k, v in sorted(exp.items())]
+    assert got == expected
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_global_aggregate_over_anti_join_fused(strategy):
+    ctx = make_ctx(strategy)
+    h = ctx.sql("SELECT SUM(a_val) AS s FROM ta WHERE NOT EXISTS "
+                "(SELECT * FROM tc WHERE tc.c_id = ta.a_id)")
+    got = h.collect().to_pylist()
+    anti = oracle_join(rows_of(ctx, "ta"), rows_of(ctx, "tc"),
+                       ["a_id"], ["c_id"], "left_anti")
+    expected = sum(r["a_val"] for r in anti)
+    assert got == [{"s": expected if anti else None}]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_aggregate_over_semi_join_with_extra_filter(strategy):
+    # filter ON TOP of the semi join under the aggregate: both the
+    # predicate and the join's match mask must fuse into one row filter
+    ctx = make_ctx(strategy)
+    h = ctx.sql("SELECT COUNT(*) AS c FROM ta WHERE a_val > 20 AND EXISTS "
+                "(SELECT * FROM tc WHERE tc.c_id = ta.a_id)")
+    got = h.collect().to_pylist()
+    sem = oracle_join(rows_of(ctx, "ta"), rows_of(ctx, "tc"),
+                      ["a_id"], ["c_id"], "left_semi")
+    expected = sum(1 for r in sem if r["a_val"] > 20)
+    assert got == [{"c": expected}]
