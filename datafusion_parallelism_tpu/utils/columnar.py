@@ -571,27 +571,35 @@ def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
 
 def replicate_rows_exact(p: jnp.ndarray, base: jnp.ndarray,
                          count: jnp.ndarray, out_cap: int) -> jnp.ndarray:
-    """Row replication WITHOUT a gather: expand column i of the [W, m] int32
-    matrix `p` into output slots [base[i], base[i]+count[i]) using a
-    scatter-add of telescoping word differences followed by a cumsum.
+    """Row replication: expand column i of the [W, m] int32 matrix `p` into
+    output slots [base[i], base[i]+count[i)).
 
-    For every source row i (count 0 or not) the word-wise difference
-    d_i = row_i - row_{i-1} (mod 2^32) is scatter-ADDED at slot base[i];
-    `base` is nondecreasing and rows with count==0 share their successor's
-    base, so after a cumsum along the output axis each slot s holds exactly
-    row_{K(s)} where K(s)=max{i: base[i]<=s} — the row whose segment covers
-    s. All arithmetic wraps mod 2^32, so the reconstruction is BIT-EXACT for
-    every packed word (floats ride as bitcast words; f64 cannot — the TPU
-    X64 rewrite rejects the bitcast — so callers gather f64 sidecars at the
-    replicated row id instead). Cost: one m-index scatter + a
-    bandwidth-bound cumsum, vs an out_cap-index gather (~9ns per index on
-    this hardware) — the win is out_cap/m * 9ns per output row. Slots past
-    the last segment hold junk; callers mask with slot < total."""
-    d = p - jnp.pad(p[:, :-1], ((0, 0), (1, 0)))      # d[:,0] = row 0
-    dest = jnp.minimum(base, out_cap)                 # overflow slots drop
-    scat = (jnp.zeros((p.shape[0], out_cap), p.dtype)
-            .at[:, dest].add(d, mode="drop"))
-    return jnp.cumsum(scat, axis=1)
+    ONE narrow scatter marks each non-empty segment's start slot with its
+    source row id (`base` of count>0 rows is strictly increasing, so dests
+    are unique), a cummax fills the ids forward through their segments, and
+    ONE minor-axis row gather fetches the rows. Cost: m narrow scatter
+    indices + out_cap gather indices (~9 ns each, independent of W) + a
+    1-word cummax. The previous telescoping diff-scatter-add + [W, out_cap]
+    cumsum avoided the gather but paid per WORD on a W-wide scatter AND
+    cumsum — profiled at 818 ms vs ~90 ms for this idiom at m=8.4M W=12
+    out_cap=2M (TPC-H Q9's top op, 79% of device time across its 5 joins).
+    Gathering is trivially bit-exact for every packed word. Slots past the
+    last segment hold junk; callers mask with slot < total.
+    DFP_REPLICATE_SCATTER=1 selects the old diff-scatter idiom (perf A/B)."""
+    import os
+    if os.environ.get("DFP_REPLICATE_SCATTER"):
+        d = p - jnp.pad(p[:, :-1], ((0, 0), (1, 0)))  # d[:,0] = row 0
+        dest = jnp.minimum(base, out_cap)             # overflow slots drop
+        scat = (jnp.zeros((p.shape[0], out_cap), p.dtype)
+                .at[:, dest].add(d, mode="drop"))
+        return jnp.cumsum(scat, axis=1)
+    m = base.shape[0]
+    dest = jnp.where(count > 0, base, out_cap)        # empty/overflow drop
+    seg = (jnp.zeros((out_cap,), jnp.int32)
+           .at[dest].max(jnp.arange(m, dtype=jnp.int32), mode="drop"))
+    idx = jax.lax.cummax(seg)
+    # PackedTable.take_rows for its >2M-index chunking (gather HBM temps)
+    return PackedTable(p, {}, None).take_rows(idx).packed
 
 
 def packed_layout(schema: Schema) -> PackedLayout:
