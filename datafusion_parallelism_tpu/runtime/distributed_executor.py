@@ -165,9 +165,14 @@ class DistributedQueryHandle(QueryHandle):
                                   "use collect()")
 
     def collect(self) -> HostTable:
-        for sv, sub in self.scalar_subqueries:
-            handle = QueryHandle(sub.plan, self.catalog,
-                                 sub.scalar_subqueries, self.config)
+        # cached like QueryHandle.run (re-tracing per collect is seconds)
+        if self._sub_handles is None:
+            self._sub_handles = [
+                QueryHandle(sub.plan, self.catalog, sub.scalar_subqueries,
+                            self.config)
+                for _, sub in self.scalar_subqueries]
+        for (sv, _), handle in zip(self.scalar_subqueries,
+                                   self._sub_handles):
             result = handle.run().to_host()
             rows = result.to_pylist()
             if len(rows) != 1:

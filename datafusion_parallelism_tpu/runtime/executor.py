@@ -66,6 +66,7 @@ class QueryHandle:
         self._compiled_key = None
         self._staged_compiled: Dict[int, Tuple] = {}  # stage idx -> (key, exe)
         self._caps_loaded = False
+        self._sub_handles = None   # cached scalar-subquery QueryHandles
 
     # -- learned-capacity persistence ----------------------------------------
     # Every overflow/shrink retry is a fresh XLA shape (minutes cold at SF1);
@@ -163,10 +164,18 @@ class QueryHandle:
 
     # -- execution --------------------------------------------------------------
     def run(self) -> DeviceTable:
-        # uncorrelated scalar subqueries run first; their values are baked in
-        for sv, sub in self.scalar_subqueries:
-            handle = QueryHandle(sub.plan, self.catalog,
-                                 sub.scalar_subqueries, self.config)
+        # uncorrelated scalar subqueries run first; their values are baked
+        # in. Handles are cached across run() calls: a fresh QueryHandle per
+        # iteration re-traces and re-lowers the whole subplan (seconds of
+        # host time per iteration on Q11/Q15-sized subqueries); a cached one
+        # reuses its compiled executable.
+        if self._sub_handles is None:
+            self._sub_handles = [
+                QueryHandle(sub.plan, self.catalog, sub.scalar_subqueries,
+                            self.config)
+                for _, sub in self.scalar_subqueries]
+        for (sv, _), handle in zip(self.scalar_subqueries,
+                                   self._sub_handles):
             result = handle.run().to_host()
             rows = result.to_pylist()
             if len(rows) != 1:
