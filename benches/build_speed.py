@@ -18,7 +18,8 @@ from benches.bench_lib import report, timeit_block
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=512 * 8192)
-    ap.add_argument("--strategy", default="csr", choices=["csr", "sort"])
+    ap.add_argument("--strategy", default="csr",
+                    choices=["csr", "sort", "oa"])
     args = ap.parse_args()
 
     import jax

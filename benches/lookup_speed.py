@@ -1,7 +1,12 @@
 """Hash-join PROBE-phase microbenchmark over a pre-built table (reference
 benches/lookup_speed.rs Size512).
 
-    python benches/lookup_speed.py [--strategy csr|sort]
+Measures the full probe-lookup path: bucket-descriptor fetch
+(probe_candidates), candidate expansion (replicate_rows_exact), and the
+build-index gather — the vectorized analog of the reference's per-row
+chain walk (src/shared/shared.rs:29-47).
+
+    python benches/lookup_speed.py [--strategy csr|sort] [--rows N]
 """
 
 import argparse
@@ -12,13 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from benches.bench_lib import report, timeit_block
+from benches.bench_lib import report_stats, timeit_stats
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=512 * 8192)
-    ap.add_argument("--strategy", default="csr", choices=["csr", "sort"])
+    ap.add_argument("--strategy", default="csr",
+                    choices=["csr", "sort", "oa"])
+    ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -27,6 +34,7 @@ def main():
                                                            build_join_table,
                                                            probe_candidates)
     from datafusion_parallelism_tpu.ops.hashing import hash_rows
+    from datafusion_parallelism_tpu.utils.columnar import replicate_rows_exact
 
     n = args.rows
     out_cap = 2 * n
@@ -35,8 +43,6 @@ def main():
     pkeys = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
     valid = jnp.ones((n,), jnp.bool_)
     strat = JoinStrategy(args.strategy)
-
-    import functools
 
     @jax.jit
     def build(bkeys):
@@ -48,11 +54,20 @@ def main():
     @jax.jit
     def probe(table, pkeys):
         ph = hash_rows([(pkeys, valid)])
-        c = probe_candidates(table, ph, valid, n, out_cap)
-        return c.total + jnp.sum(jnp.where(c.valid, c.build_idx, 0))
+        cr = probe_candidates(table, ph, valid, n)
+        # expand the per-row ranges into flat candidate slots and fetch the
+        # matching build indices — the join's probe-side hot path
+        sidecar = jnp.stack([jnp.arange(n, dtype=jnp.int32),
+                             cr.start - cr.base], axis=0)
+        rep = replicate_rows_exact(sidecar, cr.base, cr.count, out_cap)
+        j = jnp.arange(out_cap, dtype=jnp.int32)
+        pos = rep[1] + j
+        build_idx = jnp.take(table.perm, pos, mode="clip")
+        cand = j < cr.total
+        return cr.total + jnp.sum(jnp.where(cand, build_idx, 0))
 
-    best, mean = timeit_block(lambda: int(probe(table, pkeys)))
-    report(f"lookup_speed/{args.strategy}/Size512", n, best, mean)
+    stats = timeit_stats(lambda: int(probe(table, pkeys)), iters=args.iters)
+    report_stats(f"lookup_speed/{args.strategy}/Size512", n, stats)
 
 
 if __name__ == "__main__":

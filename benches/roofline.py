@@ -32,6 +32,7 @@ Emits a table + JSON to results/roofline.json.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -49,14 +50,16 @@ from datafusion_parallelism_tpu.ops.join import JoinType, hash_join
 from datafusion_parallelism_tpu.ops.aggregate import (AggSpec,
                                                       hash_aggregate_counted)
 from datafusion_parallelism_tpu.ops.sort import SortKey, sort_table
-from datafusion_parallelism_tpu.utils.columnar import HostTable, filter_rows
+from datafusion_parallelism_tpu.utils.columnar import (HostTable, filter_rows,
+                                                       replicate_rows_exact)
 
 N = 1 << 22          # 4,194,304 rows — matches the Size512 headline scenario
 ITERS = 10
 
 
-def timeit(fn, *args, iters=ITERS):
+def timeit(fn, *args, iters=None):
     """Median wall time of a jitted block with honest scalar-fetch sync."""
+    iters = ITERS if iters is None else iters
     out = fn(*args)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
     # scalar fetch = the only true sync on relay devices
@@ -98,6 +101,14 @@ def measure_primitives(rng):
 
 
 def main():
+    global N, ITERS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=N)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--out", default="results/roofline.json")
+    args = ap.parse_args()
+    N, ITERS = args.rows, args.iters
+
     rng = np.random.default_rng(0)
     prim = measure_primitives(rng)
     launch = prim["launch_s"]
@@ -141,8 +152,15 @@ def main():
 
     @jax.jit
     def f_probe(t, h):
-        cands = ht.probe_candidates(t, h, ones, N, out_cap)
-        return cands.total + cands.build_idx[-1]
+        # bucket-descriptor fetch + candidate expansion + build-index gather:
+        # the probe-side hot path shared by every join type (see join.py)
+        cr = ht.probe_candidates(t, h, ones, N)
+        sidecar = jnp.stack([jnp.arange(N, dtype=jnp.int32),
+                             cr.start - cr.base], axis=0)
+        rep = replicate_rows_exact(sidecar, cr.base, cr.count, out_cap)
+        j = jnp.arange(out_cap, dtype=jnp.int32)
+        build_idx = jnp.take(t.perm, rep[1] + j, mode="clip")
+        return cr.total + jnp.sum(jnp.where(j < cr.total, build_idx, 0))
 
     c = out_cap
     report("probe_expand", timeit(f_probe, table, ph),
@@ -210,9 +228,16 @@ def main():
     for r in rows:
         print(f"{r['op']:20s} {r['measured_ms']:9.1f}m {r['roofline_ms']:9.1f}m"
               f" {r['ratio']:6.2f}x")
-    os.makedirs("results", exist_ok=True)
-    with open("results/roofline.json", "w") as f:
-        json.dump({"primitives": prim, "operators": rows}, f, indent=2)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"rows": N, "primitives": prim, "operators": rows},
+                  f, indent=2)
+    worst = max(rows, key=lambda r: r["ratio"])
+    print(json.dumps({"bench": "roofline", "rows": N,
+                      "worst_op": worst["op"],
+                      "worst_ratio": round(worst["ratio"], 3),
+                      "ratios": {r["op"]: round(r["ratio"], 3)
+                                 for r in rows}}), flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ from __future__ import annotations
 import enum
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -38,6 +39,8 @@ class JoinStrategy(enum.Enum):
     cannot span vregs; XLA's gather is the practical floor)."""
     CSR = "csr"          # bucketed hash table (default)
     SORT = "sort"        # sort-merge on hashes
+    OA = "oa"            # open-addressing linear probe (BASELINE north-star
+    #                      A/B candidate; probe walks slots iteratively)
 
 
 class JoinTable(NamedTuple):
@@ -52,16 +55,25 @@ class JoinTable(NamedTuple):
                re-checks keys by VALUE anyway (hash_join's equal_rows_arr
                analog), so bucket-collision candidates just fail there.
     kind_sort: sorted_hash[cap] + perm; offsets is unused (size 1).
+    kind_oa:   open addressing — sorted_hash[S] holds per-slot packed
+               (key-hash-as-int32 << 32 | row_id + 1), 0 = empty slot;
+               perm[S] = row id per slot (junk at empty slots); S = T + T/4
+               (a spill region past the mask range replaces wraparound).
+               offsets has size 2 as the kind tag.
     """
-    offsets: jnp.ndarray      # int32; size-1 dummy under SORT
-    perm: jnp.ndarray         # int32[cap] row ids in bucket/sorted order
-    sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) or size-1 dummy (CSR)
+    offsets: jnp.ndarray      # int32; size-1 dummy under SORT, size-2 under OA
+    perm: jnp.ndarray         # int32[cap|S] row ids in bucket/sorted/slot order
+    sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) / slots (OA) / dummy
     start_count: jnp.ndarray  # int64[T+1] (CSR) or size-1 dummy
 
     @property
     def is_sort(self) -> bool:
         # derived from a static shape so it works across jit boundaries
         return self.offsets.shape[0] == 1
+
+    @property
+    def is_oa(self) -> bool:
+        return self.offsets.shape[0] == 2
 
 
 def table_size_for(capacity: int) -> int:
@@ -98,10 +110,92 @@ def build_sorted(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinT
                      jnp.zeros((1,), jnp.int64))
 
 
+def build_oa(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
+    """Open-addressing linear-probe table (the BASELINE north-star's build
+    variant, A/B'd against CSR — reference analog: the SwissTable insert path
+    src/operator/version10/new_map_3/fixed_table.rs:559-675).
+
+    Built without any sequential insertion via the PARKING-FUNCTION scan:
+    rows sort by (home slot, hash); linear-probe placement of the i-th
+    sorted row is pos_i = i + cummax_{j<=i}(home_j - j) (the classic
+    displacement prefix). Same-hash rows land in CONSECUTIVE slots, so the
+    probe emits contiguous (start, count) ranges like the other strategies.
+    The table is sized T + T/4: displacements spill past the mask range
+    instead of wrapping (max pos < T + cap <= T + T/4)."""
+    cap = hashes.shape[0]
+    T = table_size_for(cap)
+    S = T + T // 4
+    in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
+    ok = in_row & key_valid
+    h32 = jax.lax.bitcast_convert_type(hashes.astype(jnp.uint32), jnp.int32)
+    home = (hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+    # sort by (home, hash): same-home rows group, same-hash rows adjacent;
+    # invalid rows carry a sentinel > any composite and sort last
+    composite = ((home.astype(jnp.int64) << jnp.int64(32))
+                 | (h32.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)))
+    key = jnp.where(ok, composite, jnp.int64(1) << jnp.int64(62))
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sh = jnp.take(home, order)
+    sok = jnp.take(ok, order)
+    i = jnp.arange(cap, dtype=jnp.int32)
+    disp = jax.lax.cummax(jnp.where(sok, sh - i, -cap))
+    pos = jnp.where(sok, i + disp, S)          # invalid rows drop
+    sval = ((jnp.take(h32, order).astype(jnp.int64) << jnp.int64(32))
+            | (order.astype(jnp.int64) + 1))   # 0 stays "empty"
+    slots = jnp.zeros((S,), jnp.int64).at[pos].set(sval, mode="drop")
+    perm = jnp.zeros((S,), jnp.int32).at[pos].set(order, mode="drop")
+    return JoinTable(jnp.zeros((2,), jnp.int32), perm, slots,
+                     jnp.zeros((1,), jnp.int64))
+
+
+def _probe_oa(table: JoinTable, probe_hashes: jnp.ndarray, ok: jnp.ndarray):
+    """Linear-probe walk, all probe rows in lockstep: one m-index gather per
+    step until every row has found its (consecutive) hash-match run or an
+    empty slot. This iterative walk is the honest open-addressing probe —
+    the A/B against CSR's single bucket-descriptor gather."""
+    S = table.sorted_hash.shape[0]
+    T = 4 * S // 5
+    m = probe_hashes.shape[0]
+    ph32 = jax.lax.bitcast_convert_type(
+        probe_hashes.astype(jnp.uint32), jnp.int32)
+    home = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+    # phase 0 = seeking first match, 1 = counting the run, 2 = done
+    phase0 = jnp.where(ok, jnp.int32(0), jnp.int32(2))
+    zeros = jnp.zeros((m,), jnp.int32)
+    state = (jnp.int32(0), home, zeros, zeros, phase0)
+
+    def cond(st):
+        k, _, _, _, phase = st
+        return (k < S) & jnp.any(phase < 2)
+
+    def body(st):
+        k, cur, start, count, phase = st
+        v = jnp.take(table.sorted_hash, cur, mode="clip")
+        empty = v == 0
+        vhash = (v >> jnp.int64(32)).astype(jnp.int32)
+        match = ~empty & (vhash == ph32)
+        seeking = phase == 0
+        counting = phase == 1
+        found = seeking & match
+        start = jnp.where(found, cur, start)
+        count = jnp.where(found, 1, jnp.where(counting & match,
+                                              count + 1, count))
+        phase = jnp.where(seeking & empty, 2,
+                          jnp.where(found, 1,
+                                    jnp.where(counting & ~match, 2, phase)))
+        cur = jnp.where(phase < 2, cur + 1, cur)
+        return (k + 1, jnp.minimum(cur, S - 1), start, count, phase)
+
+    _, _, start, count, _ = jax.lax.while_loop(cond, body, state)
+    return start, count
+
+
 def build_join_table(hashes, key_valid, num_rows,
                      strategy: JoinStrategy = JoinStrategy.CSR) -> JoinTable:
     if strategy is JoinStrategy.SORT:
         return build_sorted(hashes, key_valid, num_rows)
+    if strategy is JoinStrategy.OA:
+        return build_oa(hashes, key_valid, num_rows)
     return build_csr(hashes, key_valid, num_rows)
 
 
@@ -129,7 +223,9 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
     mcap = probe_hashes.shape[0]
     in_row = jnp.arange(mcap, dtype=jnp.int32) < probe_num_rows
     ok = in_row & probe_key_valid
-    if table.is_sort:
+    if table.is_oa:
+        start, count = _probe_oa(table, probe_hashes, ok)
+    elif table.is_sort:
         # valid build rows form a sorted prefix (invalid rows carry sentinel
         # key 2^33 > any uint32 hash, so probe hashes never reach them)
         ph = probe_hashes.astype(jnp.int64)

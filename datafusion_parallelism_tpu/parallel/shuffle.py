@@ -87,11 +87,16 @@ def _exchange_and_compact(schema: Schema, layout, send_packed, f64_send,
 def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
                     axis: str = PARTITION_AXIS,
                     dest_override: Optional[jnp.ndarray] = None,
+                    valid: Optional[jnp.ndarray] = None,
                     ) -> Tuple[DeviceTable, jnp.ndarray]:
     """Repartition a local shard by key hash. Call INSIDE shard_map.
 
     Returns (received shard of capacity P*send_cap, globally-summed dropped
     row count). dest_override lets skew handling supply a salted routing.
+    valid: LATE MATERIALIZATION — an uncompacted upstream result (e.g. an
+    expanded join, see ops/join.py) shuffles directly: rows with valid=False
+    are simply never sent, so the child's compaction disappears into the
+    shuffle's own routing.
     """
     P = lax.psum(1, axis)
     if dest_override is None:
@@ -100,7 +105,10 @@ def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
     else:
         dest = dest_override
     # padding rows route to an out-of-range destination and are dropped
-    dest = jnp.where(t.row_mask(), dest, P)
+    mask = t.row_mask()
+    if valid is not None:
+        mask = mask & valid
+    dest = jnp.where(mask, dest, P)
     layout, send_packed, f64_send, send_valid, dropped = _pack_by_dest(
         t, dest, P, send_cap)
     out = _exchange_and_compact(t.schema, layout, send_packed, f64_send,
@@ -110,16 +118,20 @@ def shuffle_by_hash(t: DeviceTable, keys: List[str], send_cap: int,
 
 def replicating_shuffle(t: DeviceTable, keys: List[str], send_cap: int,
                         replicate: jnp.ndarray, axis: str = PARTITION_AXIS,
+                        valid: Optional[jnp.ndarray] = None,
                         ) -> Tuple[DeviceTable, jnp.ndarray]:
     """Shuffle where rows flagged `replicate` are sent to EVERY partition
     (skewed-key build-side broadcast); others route by hash as usual.
 
     Membership-matrix packing: member[d, i] = routes-to-d OR replicated.
+    valid: late-materialization mask, as in shuffle_by_hash.
     """
     P = lax.psum(1, axis)
     h = hash_rows([t.column(k) for k in keys])
     dest = route_of(h, P)
     in_row = t.row_mask()
+    if valid is not None:
+        in_row = in_row & valid
     cap = t.capacity
     d_ids = jnp.arange(P, dtype=jnp.int32)[:, None]            # [P, 1]
     member = in_row[None, :] & ((dest[None, :] == d_ids) | replicate[None, :])

@@ -44,10 +44,13 @@ def bucket_of(hashes: jnp.ndarray) -> jnp.ndarray:
 
 
 def key_histogram(t: DeviceTable, keys: List[str],
-                  axis: str = PARTITION_AXIS) -> jnp.ndarray:
-    """Global HIST_SIZE-bucket histogram of this table's key hashes."""
+                  axis: str = PARTITION_AXIS,
+                  valid=None) -> jnp.ndarray:
+    """Global HIST_SIZE-bucket histogram of this table's key hashes.
+    valid: late-materialization mask (see shuffle_by_hash)."""
     h = hash_rows([t.column(k) for k in keys])
-    b = jnp.where(t.row_mask(), bucket_of(h), HIST_SIZE)
+    mask = t.row_mask() if valid is None else (t.row_mask() & valid)
+    b = jnp.where(mask, bucket_of(h), HIST_SIZE)
     local = jnp.zeros((HIST_SIZE,), jnp.int32).at[b].add(1, mode="drop")
     return lax.psum(local, axis)
 
@@ -73,8 +76,9 @@ def salted_route(t: DeviceTable, keys: List[str], heavy: jnp.ndarray,
 
 
 def build_replication_mask(t: DeviceTable, keys: List[str],
-                           heavy: jnp.ndarray) -> jnp.ndarray:
+                           heavy: jnp.ndarray, valid=None) -> jnp.ndarray:
     """bool[cap] for the BUILD side: rows whose key bucket is heavy get
     replicated to every partition by replicating_shuffle."""
     h = hash_rows([t.column(k) for k in keys])
-    return jnp.take(heavy, bucket_of(h), mode="clip") & t.row_mask()
+    mask = t.row_mask() if valid is None else (t.row_mask() & valid)
+    return jnp.take(heavy, bucket_of(h), mode="clip") & mask

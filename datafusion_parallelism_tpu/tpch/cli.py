@@ -134,8 +134,25 @@ def run(argv=None) -> dict:
     outdir = args.output_path
     if outdir:
         os.makedirs(outdir, exist_ok=True)
+        # MERGE with any prior results.json in this directory: partial
+        # invocations (per-query runs, crashed suites) accumulate into ONE
+        # consolidated artifact instead of overwriting each other — queries
+        # run now replace their own old entries only
+        prior_path = os.path.join(outdir, "results.json")
+        if os.path.exists(prior_path):
+            try:
+                with open(prior_path) as f:
+                    prior = json.load(f)
+                for sect in ("query_times_ms", "query_metrics", "checked"):
+                    results[sect] = {int(k): v
+                                     for k, v in prior.get(sect, {}).items()}
+            except (ValueError, OSError):
+                pass
 
     for q in queries:
+        # this invocation owns q's entries now; stale merged ones go
+        for sect in ("query_times_ms", "query_metrics", "checked"):
+            results[sect].pop(q, None)
         handle = ctx.sql(QUERIES[q])
         if args.print_plan:
             print(f"-- Q{q} plan --\n{handle.explain()}")

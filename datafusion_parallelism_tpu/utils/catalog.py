@@ -56,6 +56,26 @@ class RegisteredTable:
             self.statistics.distinct[key] = d
         return d
 
+    def range_of(self, col: str):
+        """(min, max) of a column's valid values as floats (decimal columns
+        return the SCALED integer domain), None for empty/string columns.
+        Computed once; drives range-predicate selectivity estimates that
+        seed filter output capacities (each avoided overflow retry is a full
+        recompile)."""
+        if not hasattr(self, "_ranges"):
+            self._ranges: Dict[str, object] = {}
+        if col not in self._ranges:
+            import numpy as np
+            vals, valid = self.host.columns[col]
+            v = np.asarray(vals)
+            if v.dtype.kind not in "iuf":
+                self._ranges[col] = None
+            else:
+                v = v[np.asarray(valid)]
+                self._ranges[col] = (float(v.min()), float(v.max())) \
+                    if v.size else None
+        return self._ranges[col]
+
     def device(self) -> DeviceTable:
         if self._device is None:
             self._device = self.host.to_device()

@@ -481,8 +481,13 @@ class PackedTable(NamedTuple):
                 part = jnp.take(self.packed, ix, axis=1, mode="clip")
                 return jax.lax.dynamic_update_slice(acc, part, (0, i * ch))
 
-            packed = jax.lax.fori_loop(
-                0, n // ch, body, jnp.zeros((w, n), self.packed.dtype))
+            # the +0 terms mark the init carry as device-varying on the same
+            # mesh axes as the data: under shard_map a plain zeros init is
+            # "unvarying" and fori_loop rejects the carry-type mismatch
+            acc0 = (jnp.zeros((w, n), self.packed.dtype)
+                    + self.packed[:, :1] * 0
+                    + indices[None, :1].astype(self.packed.dtype) * 0)
+            packed = jax.lax.fori_loop(0, n // ch, body, acc0)
         else:
             packed = jnp.take(self.packed, indices, axis=1, mode="clip")
         return PackedTable(

@@ -15,7 +15,7 @@ from datafusion_parallelism_tpu.ops.hash_table import JoinStrategy
 from oracle import oracle_join, assert_rows_equal
 
 ALL_TYPES = list(JoinType)
-STRATEGIES = [JoinStrategy.CSR, JoinStrategy.SORT]
+STRATEGIES = [JoinStrategy.CSR, JoinStrategy.SORT, JoinStrategy.OA]
 
 
 def run_join(build_rows, probe_rows, bkeys, pkeys, jt, strategy, residual=None,

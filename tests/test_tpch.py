@@ -1,12 +1,11 @@
 """TPC-H end-to-end correctness: engine vs the independent Python oracle.
 
 The analog of the reference's answer-check CSVs (tpc/src/main.rs:368-377),
-run over the generated dataset at a small scale factor. The slowest queries
-(many-join plans: compile-bound on the CPU test backend) only run when
-RUN_SLOW_TPCH=1.
+run over the generated dataset at a small scale factor. All 22 queries run
+in default CI — the hardest shapes (Q2/7/8/9/21, many-join plans) are
+compile-bound on the CPU backend but amortize through the persistent
+compile cache.
 """
-
-import os
 
 import pytest
 
@@ -15,9 +14,6 @@ from datafusion_parallelism_tpu.tpch import generate_tables, QUERIES
 from datafusion_parallelism_tpu.tpch.oracle import oracle_query
 
 from oracle import assert_rows_equal
-
-SLOW = {2, 7, 8, 9, 21}
-RUN_SLOW = os.environ.get("RUN_SLOW_TPCH") == "1"
 
 
 @pytest.fixture(scope="module")
@@ -31,8 +27,6 @@ def dataset():
 
 @pytest.mark.parametrize("q", sorted(QUERIES))
 def test_tpch_query(dataset, q):
-    if q in SLOW and not RUN_SLOW:
-        pytest.skip("slow TPC-H query; set RUN_SLOW_TPCH=1")
     ctx, tables = dataset
     actual = ctx.sql(QUERIES[q]).collect().to_pylist()
     expected = oracle_query(q, tables)
