@@ -89,8 +89,12 @@ def measure_primitives(rng):
         packed13, idx)
     sc = timeit(jax.jit(
         lambda i: jnp.sum(jnp.zeros((N,), jnp.int32).at[i].add(1))), idx)
-    srt = timeit(jax.jit(lambda v: jnp.argsort(v).astype(jnp.int32)[-1]),
-                 ivals)
+    # force FULL materialization of the permutation: argsort feeding only a
+    # [-1] slice gets rewritten by XLA to a cheap reduction (measured 2-5 ms
+    # "sorts" at 4M; the honest cost is ~30 ms, dtype-independent)
+    iota = jnp.arange(N, dtype=jnp.int64)
+    srt = timeit(jax.jit(lambda v: jnp.sum(
+        jnp.argsort(v, stable=True).astype(jnp.int64) * iota)), ivals)
     return {
         "launch_s": null,
         "gather_ns": max(g1 - null, 1e-9) / N * 1e9,

@@ -225,8 +225,16 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
         # pushes them past the valid prefix, so no separate compaction runs
         in_row = in_row & row_filter
     h = hash_rows([t.column(k) for k in group_keys])
-    # padding rows sort to the top via a sentinel above any uint32
-    sort_key = jnp.where(in_row, h.astype(jnp.int64), jnp.int64(1) << 33)
+    # INT32 sort keys: an int64 argsort (hash + 2^33 padding sentinel)
+    # measured 42 ms at 4M rows vs ~2 ms for int32. Clamp hashes to
+    # 0xFFFFFFFE so 0xFFFFFFFF (biased: INT32_MAX) is free for padding —
+    # the prefix property (all valid rows sort before all padding) holds
+    # exactly, and the clamp only MERGES the 0xFFFFFFFE/0xFFFFFFFF hash
+    # segments: the value-compare boundary below still splits distinct keys.
+    h = jnp.minimum(h, jnp.uint32(0xFFFFFFFE))
+    biased = jax.lax.bitcast_convert_type(h ^ jnp.uint32(0x80000000),
+                                          jnp.int32)
+    sort_key = jnp.where(in_row, biased, jnp.int32(0x7FFFFFFF))
     perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
     # padding sorts past every valid row, so sorted validity is a PREFIX
     # mask — no gather of in_row through perm needed
@@ -237,8 +245,7 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # per-column reads below are then elementwise/shift ops, not gathers.
     # The row hash rides the same gather as a sidecar word (gathers cost per
     # index, not per byte) instead of a second cap-index gather.
-    from ..utils.columnar import (PackedTable, pack_table, compact_rows,
-                                  unpack_table)
+    from ..utils.columnar import PackedTable, pack_table, unpack_table
     pt = pack_table(t)
     aug = PackedTable(
         jnp.concatenate([pt.packed,
@@ -272,17 +279,22 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     cols = {}
     kept = jnp.minimum(n_groups, out_cap)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < kept
-    # group key values: the first sorted row of each segment, compacted from
-    # the already-packed sorted rows in ONE fused row-gather (compact_rows)
-    # instead of two gathers per column; XLA dead-code-eliminates the
-    # gathered words no group key reads
+    # boundary POSITIONS: ONE compaction scatter serves both the group-key
+    # row fetch and the prefix-sum reductions below (this and compact_rows
+    # used to each pay their own cap-index scatter)
+    bpos, _ = compaction_indices(boundary)
+    # group key values: the first sorted row of each segment, fetched from
+    # the already-packed sorted rows in ONE out_cap row-gather at bpos; XLA
+    # dead-code-eliminates the gathered words no group key reads. Slots past
+    # kept gather junk; their validity is masked by `ok` below and the key
+    # validity words of junk rows are whatever row 0 holds — acceptable
+    # because every consumer masks with row_mask()/num_rows.
     spt = PackedTable(g_.packed[:-1], g_.f64s, pt.layout)
-    (bt,), _ = compact_rows([spt], boundary, out_cap)
+    bt = spt.take_rows(bpos[:out_cap])
     rep = unpack_table(bt, t.schema, kept)
     for k in group_keys:
-        cols[k] = rep.columns[k]
-    # boundary POSITIONS still feed the sorted-segment prefix-sum reductions
-    bpos, _ = compaction_indices(boundary)
+        v, valid = rep.columns[k]
+        cols[k] = (v, valid & ok)
 
     # segments are SORTED (rows grouped contiguously), so SUM-family
     # reductions are a prefix sum + two boundary gathers at out_cap — far
@@ -325,14 +337,20 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
             else:
                 cols[a.output] = (s.astype(out_dt.device_dtype), ok & (cnt > 0))
         elif a.func in ("min", "max"):
+            # segment ids are sorted (contiguous runs) and only out_cap
+            # segments are kept: a bounded sorted-index scatter beats the
+            # full-capacity segment_* (padding's trailing segment id can
+            # exceed out_cap; mode='drop' discards it)
             if a.func == "min":
                 fill = _dtype_max(sv.dtype)
                 data = jnp.where(svalid, sv, fill)
-                v = jax.ops.segment_min(data, seg, num_segments=cap)[:out_cap]
+                v = jnp.full((out_cap,), fill, sv.dtype).at[seg].min(
+                    data, mode="drop", indices_are_sorted=True)
             else:
                 fill = _dtype_min(sv.dtype)
                 data = jnp.where(svalid, sv, fill)
-                v = jax.ops.segment_max(data, seg, num_segments=cap)[:out_cap]
+                v = jnp.full((out_cap,), fill, sv.dtype).at[seg].max(
+                    data, mode="drop", indices_are_sorted=True)
             cols[a.output] = (v.astype(out_dt.device_dtype), ok & (cnt > 0))
         else:
             raise ValueError(a.func)

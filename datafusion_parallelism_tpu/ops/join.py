@@ -26,11 +26,11 @@ from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..utils.columnar import (DeviceTable, PackedTable, Schema,
-                              hstack_tables, null_columns_like,
-                              concat_tables, pack_table, unpack_table,
-                              replicate_rows_exact, compact_rows,
-                              filter_rows as _filter_rows)
+from ..utils.columnar import (DeviceTable, Kind, PackedTable, Schema,
+                              compaction_indices, hstack_tables,
+                              null_columns_like, concat_tables, pack_table,
+                              unpack_table, replicate_rows_exact,
+                              compact_rows, filter_rows as _filter_rows)
 from typing import NamedTuple
 
 from .hashing import hash_rows
@@ -98,6 +98,51 @@ class PreparedBuild(NamedTuple):
     build: DeviceTable
     table: JoinTable
     perm_rows: PackedTable
+
+
+def _field_info(layout):
+    """name -> (kind, first word slot, word count, validity word row, bit)."""
+    info = {}
+    for j, (name, kind, slot, n) in enumerate(layout.fields):
+        info[name] = (kind, slot, n, layout.valid_base + j // 32, j % 32)
+    return info
+
+
+def _defer_key_plan(blayout, playout, build_keys, probe_keys):
+    """Word-row plan for the DEFERRED probe path: which packed rows to
+    gather at candidate positions for the key recheck, and how to compare
+    them. None when bit-equality of packed words is not equivalent to the
+    value recheck (float keys: ±0.0; mixed-width keys: value promotion)."""
+    binfo, pinfo = _field_info(blayout), _field_info(playout)
+    brows, prows = [], []   # packed row ids to gather, de-duplicated
+
+    def row_of(rows, r):
+        if r not in rows:
+            rows.append(r)
+        return rows.index(r)
+
+    compares = []   # (b word idxs, p word idxs, b vword/bit, p vword/bit)
+    for bk, pk in zip(build_keys, probe_keys):
+        kb, sb, nb, vwb, bb = binfo[bk]
+        kp, sp, np_, vwp, bp = pinfo[pk]
+        if (nb != np_ or nb == 0
+                or kb in (Kind.FLOAT64, Kind.FLOAT32)
+                or kp in (Kind.FLOAT64, Kind.FLOAT32)):
+            return None
+        bw = [row_of(brows, sb + i) for i in range(nb)]
+        pw = [row_of(prows, sp + i) for i in range(nb)]
+        compares.append((bw, pw, (row_of(brows, vwb), bb),
+                         (row_of(prows, vwp), bp)))
+    return brows, prows, compares
+
+
+def _zero_validity_past(pt: PackedTable, ok) -> PackedTable:
+    """Zero validity words of slots past the survivor count (compact_rows'
+    contract) so unpacked validity reads False without a row mask."""
+    vb = pt.layout.valid_base
+    vw = jnp.where(ok[None, :], pt.packed[vb:], 0)
+    return PackedTable(jnp.concatenate([pt.packed[:vb], vw], axis=0),
+                       pt.f64s, pt.layout)
 
 
 def _perm_rows(build: DeviceTable, table: JoinTable) -> PackedTable:
@@ -183,49 +228,88 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     #  * the packed build rows stored in perm order are fetched at `pos` in
     #    ONE gather that also carries the build row id (for the visited
     #    mask).
-    # The fetched rows cover every column + validity AND the key values for
-    # the recheck (gathers cost per index, not per byte — see pack_table).
-    # Semi/anti joins read only key columns and match flags from these;
-    # XLA dead-code-eliminates the unpack of every untouched column and the
-    # pairs_table compaction, so there is no waste in the unified path.
+    #
+    # DEFERRED MATERIALIZATION (the default when no residual filter needs
+    # full candidate rows and the output is compacted anyway): the candidate
+    # fetches carry ONLY the key words + validity + build id — per-index
+    # gather cost rises with row width past ~8 words (rowgather13 measures
+    # 22 ns/idx vs 6.6 narrow), so fetching full W-wide rows at out_cap
+    # candidates AND again at the pair compaction paid the wide rate twice.
+    # Full rows are gathered ONCE, at the compacted match positions.
+    # Expanded (late-materialized) joins and residual-filtered joins still
+    # take the full-fetch path: their consumers read whole candidate rows.
     if bperm is None:
         bperm = _perm_rows(build, table)
     mcap = probe.capacity
     ppacked = pack_table(probe)
-    sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
-                         cr.start - cr.base], axis=0)
-    rep = replicate_rows_exact(
-        jnp.concatenate([ppacked.packed, sidecar], axis=0),
-        cr.base, cr.count, out_cap)
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    probe_idx = rep[-2]
-    pos = rep[-1] + j
-    cand = j < cr.total
-    gp = PackedTable(rep[:-2],
-                     {k: jnp.take(v, probe_idx, mode="clip")
-                      for k, v in ppacked.f64s.items()},
-                     ppacked.layout)
-    gb_aug = bperm.take_rows(pos)
-    cand_build_idx = gb_aug.packed[-1]
-    gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
-    gbt = unpack_table(gb, build.schema, out_cap)
-    gpt = unpack_table(gp, probe.schema, out_cap)
 
-    # key-equality recheck by value (hash collisions, reference equal_rows_arr)
-    eq = cand
-    for bk, pk in zip(build_keys, probe_keys):
-        bv, gbv = gbt.column(bk)
-        pv, gpv = gpt.column(pk)
-        if bv.dtype != pv.dtype:
-            wide = jnp.promote_types(bv.dtype, pv.dtype)
-            bv, pv = bv.astype(wide), pv.astype(wide)
-        eq = eq & gbv & gpv & (bv == pv)
-    match = eq
+    plan = None
+    if residual is None and not (expanded and join_type is JoinType.INNER):
+        plan = _defer_key_plan(bperm.layout, ppacked.layout,
+                               build_keys, probe_keys)
 
-    if residual is not None:
-        pair_tbl = hstack_tables(gbt, gpt, out_cap)
-        rvals, rvalid = residual(pair_tbl)
-        match = match & rvalid & rvals
+    if plan is not None:
+        brows, prows, compares = plan
+        sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
+                             cr.start - cr.base], axis=0)
+        rep = replicate_rows_exact(sidecar, cr.base, cr.count, out_cap)
+        probe_idx = rep[0]
+        pos = rep[1] + j
+        cand = j < cr.total
+        id_row = bperm.packed.shape[0] - 1
+        bn = PackedTable(bperm.packed[jnp.asarray(brows + [id_row]), :],
+                         {}, None).take_rows(pos).packed
+        pn = PackedTable(ppacked.packed[jnp.asarray(prows), :],
+                         {}, None).take_rows(probe_idx).packed
+        cand_build_idx = bn[-1]
+        # key recheck on packed words: bit equality == value equality for
+        # the non-float same-width keys _defer_key_plan admits
+        eq = cand
+        for bw, pw, (bvr, bbit), (pvr, pbit) in compares:
+            for wb, wp in zip(bw, pw):
+                eq = eq & (bn[wb] == pn[wp])
+            bvalid = ((bn[bvr].view(jnp.uint32) >> jnp.uint32(bbit))
+                      & jnp.uint32(1)).astype(jnp.bool_)
+            pvalid = ((pn[pvr].view(jnp.uint32) >> jnp.uint32(pbit))
+                      & jnp.uint32(1)).astype(jnp.bool_)
+            eq = eq & bvalid & pvalid
+        match = eq
+        gbt = gpt = None
+    else:
+        sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
+                             cr.start - cr.base], axis=0)
+        rep = replicate_rows_exact(
+            jnp.concatenate([ppacked.packed, sidecar], axis=0),
+            cr.base, cr.count, out_cap)
+        probe_idx = rep[-2]
+        pos = rep[-1] + j
+        cand = j < cr.total
+        gp = PackedTable(rep[:-2],
+                         {k: jnp.take(v, probe_idx, mode="clip")
+                          for k, v in ppacked.f64s.items()},
+                         ppacked.layout)
+        gb_aug = bperm.take_rows(pos)
+        cand_build_idx = gb_aug.packed[-1]
+        gb = PackedTable(gb_aug.packed[:-1], gb_aug.f64s, gb_aug.layout)
+        gbt = unpack_table(gb, build.schema, out_cap)
+        gpt = unpack_table(gp, probe.schema, out_cap)
+
+        # key-equality recheck by value (hash collisions, equal_rows_arr)
+        eq = cand
+        for bk, pk in zip(build_keys, probe_keys):
+            bv, gbv = gbt.column(bk)
+            pv, gpv = gpt.column(pk)
+            if bv.dtype != pv.dtype:
+                wide = jnp.promote_types(bv.dtype, pv.dtype)
+                bv, pv = bv.astype(wide), pv.astype(wide)
+            eq = eq & gbv & gpv & (bv == pv)
+        match = eq
+
+        if residual is not None:
+            pair_tbl = hstack_tables(gbt, gpt, out_cap)
+            rvals, rvalid = residual(pair_tbl)
+            match = match & rvalid & rvals
 
     if expanded and join_type is JoinType.INNER:
         return hstack_tables(gbt, gpt, out_cap), match, cr.total
@@ -259,6 +343,21 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         raise ValueError(f"expanded unsupported for {join_type}")
 
     def pairs_table() -> DeviceTable:
+        if gbt is None:
+            # deferred path: compact the (pos, probe_idx) index pairs, then
+            # fetch full rows ONCE at the surviving positions
+            cidx, n_match = compaction_indices(match)
+            comp = jnp.take(jnp.stack([pos, probe_idx]), cidx, axis=1)
+            n = jnp.minimum(n_match, out_cap)
+            ok = j < n
+            gb_full = PackedTable(bperm.packed[:-1], bperm.f64s,
+                                  bperm.layout).take_rows(comp[0])
+            gp_full = ppacked.take_rows(comp[1])
+            bt = unpack_table(_zero_validity_past(gb_full, ok),
+                              build.schema, n)
+            pt = unpack_table(_zero_validity_past(gp_full, ok),
+                              probe.schema, n)
+            return hstack_tables(bt, pt, n)
         # both sides compact in ONE fused row-gather — see compact_rows
         (cb, cp), n = compact_rows([gb, gp], match, out_cap)
         bt = unpack_table(cb, build.schema, n)

@@ -766,5 +766,463 @@ def _q21_np(t, li=None):
     return _sorted_limit(out, lambda r: (-r["numwait"], r["s_name"]), 100)
 
 
-_FAST = {1: _q1_np, 3: _q3_np, 5: _q5_np, 6: _q6_np, 9: _q9_np, 12: _q12_np,
-         21: _q21_np}
+def _lut(keys, vals, fill=0):
+    """Dense key -> value lookup array (TPC-H keys are small ints)."""
+    import numpy as np
+    out = np.full(int(keys.max()) + 1, fill,
+                  vals.dtype if hasattr(vals, "dtype") else np.int64)
+    out[keys] = vals
+    return out
+
+
+def _contains_seq(values, a: str, b: str):
+    """bool per string: contains `a` then `b` strictly after it (the
+    LIKE '%a%b%' shape of Q13/Q16)."""
+    import numpy as np
+    v = values.astype(str)
+    f1 = np.char.find(v, a)
+    f2 = np.char.find(v, b, np.maximum(f1 + len(a), 0))
+    return (f1 >= 0) & (f2 >= 0)
+
+
+def _q2_np(t, li=None):
+    import numpy as np
+    part, sup, ps = t["part"], t["supplier"], t["partsupp"]
+    nat, reg = t["nation"], t["region"]
+    eu_regs = _col(reg, "r_regionkey")[
+        _col(reg, "r_name") == _dict_of(reg, "r_name").code_of("EUROPE")]
+    nk = _col(nat, "n_nationkey")
+    nat_eu = _lut(nk, np.isin(_col(nat, "n_regionkey"), eu_regs), False)
+    sk = _col(sup, "s_suppkey")
+    supp_eu = _lut(sk, nat_eu[_col(sup, "s_nationkey")], False)
+
+    pk = _col(part, "p_partkey")
+    types = _dict_of(part, "p_type").values.astype(str)
+    part_ok = _lut(pk, (_col(part, "p_size") == 15)
+                   & np.char.endswith(types, "BRASS")[_col(part, "p_type")],
+                   False)
+
+    psk, pspk = _col(ps, "ps_suppkey"), _col(ps, "ps_partkey")
+    cost = _dec(ps, "ps_supplycost")
+    eu = supp_eu[psk]
+    mincost = np.full(int(pspk.max()) + 1, np.inf)
+    np.minimum.at(mincost, pspk[eu], cost[eu])
+    sel = np.flatnonzero(eu & part_ok[pspk] & (cost == mincost[pspk]))
+
+    s_nat = _lut(sk, _col(sup, "s_nationkey"))
+    n_name = _dict_of(nat, "n_name").values
+    nat_name = _lut(nk, _col(nat, "n_name"))
+    sd = {c: (_lut(sk, _col(sup, c)), _dict_of(sup, c).values)
+          for c in ("s_name", "s_address", "s_phone", "s_comment")}
+    s_bal = _lut(sk, _dec(sup, "s_acctbal"), 0.0)
+    p_mfgr = _lut(pk, _col(part, "p_mfgr"))
+    mfgr_vals = _dict_of(part, "p_mfgr").values
+    out = []
+    for i in sel:
+        s, p = int(psk[i]), int(pspk[i])
+        out.append({
+            "s_acctbal": float(s_bal[s]),
+            "s_name": sd["s_name"][1][int(sd["s_name"][0][s])],
+            "n_name": n_name[int(nat_name[int(s_nat[s])])],
+            "p_partkey": p, "p_mfgr": mfgr_vals[int(p_mfgr[p])],
+            "s_address": sd["s_address"][1][int(sd["s_address"][0][s])],
+            "s_phone": sd["s_phone"][1][int(sd["s_phone"][0][s])],
+            "s_comment": sd["s_comment"][1][int(sd["s_comment"][0][s])]})
+    return _sorted_limit(out, lambda r: (-r["s_acctbal"], r["n_name"],
+                                         r["s_name"], r["p_partkey"]), 100)
+
+
+def _q4_np(t, li=None):
+    import numpy as np
+    orde, l = t["orders"], t["lineitem"]
+    lo, hi = _d("1993-07-01"), _d("1993-10-01")
+    lok = _col(l, "l_orderkey")
+    late = np.zeros(int(lok.max()) + 1, np.bool_)
+    late[lok[_col(l, "l_commitdate") < _col(l, "l_receiptdate")]] = True
+    od, okey = _col(orde, "o_orderdate"), _col(orde, "o_orderkey")
+    m = (od >= lo) & (od < hi) & late[np.minimum(okey, len(late) - 1)] \
+        & (okey <= lok.max())
+    prio = _col(orde, "o_orderpriority")[m]
+    pd_ = _dict_of(orde, "o_orderpriority")
+    out = [{"o_orderpriority": pd_.values[int(c)], "order_count": int(n)}
+           for c, n in zip(*np.unique(prio, return_counts=True))]
+    return _sorted_limit(out, lambda r: r["o_orderpriority"])
+
+
+def _q7_np(t, li=None):
+    import numpy as np
+    nat, sup, cus, orde, l = (t["nation"], t["supplier"], t["customer"],
+                              t["orders"], t["lineitem"])
+    lo, hi = _d("1995-01-01"), _d("1996-12-31")
+    nk = _col(nat, "n_nationkey")
+    nd = _dict_of(nat, "n_name")
+    fr, de = nd.code_of("FRANCE"), nd.code_of("GERMANY")
+    nat_code = _lut(nk, _col(nat, "n_name"), -1)
+    supp_nat = _lut(_col(sup, "s_suppkey"), _col(sup, "s_nationkey"), -1)
+    cust_nat = _lut(_col(cus, "c_custkey"), _col(cus, "c_nationkey"), -1)
+    ord_cust = _lut(_col(orde, "o_orderkey"), _col(orde, "o_custkey"), -1)
+
+    ship = _col(l, "l_shipdate")
+    m = (ship >= lo) & (ship <= hi)
+    n1 = nat_code[supp_nat[_col(l, "l_suppkey")[m]]]
+    n2 = nat_code[cust_nat[ord_cust[_col(l, "l_orderkey")[m]]]]
+    pair = ((n1 == fr) & (n2 == de)) | ((n1 == de) & (n2 == fr))
+    year = (ship[m][pair].astype("datetime64[D]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970)
+    rev = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m][pair]
+    gkey = (n1[pair].astype(np.int64) * 100 + n2[pair]) * 10000 + year
+    uniq, inv = np.unique(gkey, return_inverse=True)
+    sums = np.bincount(inv, weights=rev, minlength=len(uniq))
+    out = [{"supp_nation": nd.values[int(k) // 1000000],
+            "cust_nation": nd.values[(int(k) // 10000) % 100],
+            "l_year": int(k) % 10000, "revenue": float(v)}
+           for k, v in zip(uniq, sums)]
+    return _sorted_limit(out, lambda r: (r["supp_nation"], r["cust_nation"],
+                                         r["l_year"]))
+
+
+def _q8_np(t, li=None):
+    import numpy as np
+    nat, reg, cus, sup, part, orde, l = (
+        t["nation"], t["region"], t["customer"], t["supplier"], t["part"],
+        t["orders"], t["lineitem"])
+    lo, hi = _d("1995-01-01"), _d("1996-12-31")
+    steel = _dict_of(part, "p_type").code_of("ECONOMY ANODIZED STEEL")
+    part_ok = _lut(_col(part, "p_partkey"),
+                   _col(part, "p_type") == steel, False)
+    am_regs = _col(reg, "r_regionkey")[
+        _col(reg, "r_name") == _dict_of(reg, "r_name").code_of("AMERICA")]
+    nk = _col(nat, "n_nationkey")
+    nat_am = _lut(nk, np.isin(_col(nat, "n_regionkey"), am_regs), False)
+    brazil = _dict_of(nat, "n_name").code_of("BRAZIL")
+    nat_br = _lut(nk, _col(nat, "n_name") == brazil, False)
+    cust_am = _lut(_col(cus, "c_custkey"),
+                   nat_am[_col(cus, "c_nationkey")], False)
+    supp_br = _lut(_col(sup, "s_suppkey"),
+                   nat_br[_col(sup, "s_nationkey")], False)
+    okey, od = _col(orde, "o_orderkey"), _col(orde, "o_orderdate")
+    owin = (od >= lo) & (od <= hi) & cust_am[_col(orde, "o_custkey")]
+    ord_year = _lut(okey, np.where(
+        owin, (od.astype("datetime64[D]").astype("datetime64[Y]")
+               .astype(np.int64) + 1970), 0), 0)
+
+    lok = _col(l, "l_orderkey")
+    m = part_ok[_col(l, "l_partkey")] & (ord_year[lok] > 0)
+    vol = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    year = ord_year[lok[m]]
+    br = supp_br[_col(l, "l_suppkey")[m]]
+    uniq, inv = np.unique(year, return_inverse=True)
+    tot = np.bincount(inv, weights=vol, minlength=len(uniq))
+    bz = np.bincount(inv, weights=vol * br, minlength=len(uniq))
+    out = [{"o_year": int(y), "mkt_share": float(b / s) if s else None}
+           for y, b, s in zip(uniq, bz, tot)]
+    return _sorted_limit(out, lambda r: r["o_year"])
+
+
+def _q10_np(t, li=None):
+    import numpy as np
+    nat, cus, orde, l = t["nation"], t["customer"], t["orders"], t["lineitem"]
+    lo, hi = _d("1993-10-01"), _d("1994-01-01")
+    okey, od = _col(orde, "o_orderkey"), _col(orde, "o_orderdate")
+    owin = (od >= lo) & (od < hi)
+    ord_cust = _lut(okey, np.where(owin, _col(orde, "o_custkey"), -1), -1)
+    rcode = _dict_of(l, "l_returnflag").code_of("R")
+    lok = _col(l, "l_orderkey")
+    m = (_col(l, "l_returnflag") == rcode) & (ord_cust[lok] >= 0)
+    rev = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    ck = ord_cust[lok[m]]
+    uniq, inv = np.unique(ck, return_inverse=True)
+    sums = np.bincount(inv, weights=rev, minlength=len(uniq))
+    top = np.argsort(-sums, kind="stable")[:20]
+
+    cck = _col(cus, "c_custkey")
+    cust_row = _lut(cck, np.arange(len(cck)), -1)
+    nat_name = _lut(_col(nat, "n_nationkey"), _col(nat, "n_name"), -1)
+    nname = _dict_of(nat, "n_name").values
+    sd = {c: (_col(cus, c), _dict_of(cus, c).values)
+          for c in ("c_name", "c_phone", "c_address", "c_comment")}
+    bal = _dec(cus, "c_acctbal")
+    out = []
+    for i in top:
+        k = int(uniq[i])
+        r = int(cust_row[k])
+        out.append({
+            "c_custkey": k,
+            "c_name": sd["c_name"][1][int(sd["c_name"][0][r])],
+            "revenue": float(sums[i]), "c_acctbal": float(bal[r]),
+            "n_name": nname[int(nat_name[int(_col(cus, "c_nationkey")[r])])],
+            "c_address": sd["c_address"][1][int(sd["c_address"][0][r])],
+            "c_phone": sd["c_phone"][1][int(sd["c_phone"][0][r])],
+            "c_comment": sd["c_comment"][1][int(sd["c_comment"][0][r])]})
+    return _sorted_limit(out, lambda r: -r["revenue"], 20)
+
+
+def _q11_np(t, li=None):
+    import numpy as np
+    sup, nat, ps = t["supplier"], t["nation"], t["partsupp"]
+    de = _dict_of(nat, "n_name").code_of("GERMANY")
+    nat_de = _lut(_col(nat, "n_nationkey"), _col(nat, "n_name") == de, False)
+    supp_de = _lut(_col(sup, "s_suppkey"),
+                   nat_de[_col(sup, "s_nationkey")], False)
+    m = supp_de[_col(ps, "ps_suppkey")]
+    val = (_dec(ps, "ps_supplycost") * _col(ps, "ps_availqty"))[m]
+    pk = _col(ps, "ps_partkey")[m]
+    uniq, inv = np.unique(pk, return_inverse=True)
+    sums = np.bincount(inv, weights=val, minlength=len(uniq))
+    thresh = float(val.sum()) * 0.0001
+    out = [{"ps_partkey": int(k), "value": float(v)}
+           for k, v in zip(uniq, sums) if v > thresh]
+    return _sorted_limit(out, lambda r: -r["value"])
+
+
+def _q13_np(t, li=None):
+    import numpy as np
+    cus, orde = t["customer"], t["orders"]
+    bad = _contains_seq(_dict_of(orde, "o_comment").values,
+                        "special", "requests")
+    keep = ~bad[_col(orde, "o_comment")]
+    ck = _col(cus, "c_custkey")
+    counts = np.bincount(_col(orde, "o_custkey")[keep],
+                         minlength=int(ck.max()) + 1)
+    c_count = counts[ck]
+    uniq, cnt = np.unique(c_count, return_counts=True)
+    out = [{"c_count": int(k), "custdist": int(v)}
+           for k, v in zip(uniq, cnt)]
+    return _sorted_limit(out, lambda r: (-r["custdist"], -r["c_count"]))
+
+
+def _q14_np(t, li=None):
+    import numpy as np
+    part, l = t["part"], t["lineitem"]
+    lo, hi = _d("1995-09-01"), _d("1995-10-01")
+    types = _dict_of(part, "p_type").values.astype(str)
+    promo = _lut(_col(part, "p_partkey"),
+                 np.char.startswith(types, "PROMO")[_col(part, "p_type")],
+                 False)
+    ship = _col(l, "l_shipdate")
+    m = (ship >= lo) & (ship < hi)
+    v = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    total = float(v.sum())
+    pr = float(v[promo[_col(l, "l_partkey")[m]]].sum())
+    return [{"promo_revenue": 100.0 * pr / total if total else None}]
+
+
+def _q15_np(t, li=None):
+    import numpy as np
+    sup, l = t["supplier"], t["lineitem"]
+    lo, hi = _d("1996-01-01"), _d("1996-04-01")
+    ship = _col(l, "l_shipdate")
+    m = (ship >= lo) & (ship < hi)
+    sk = _col(l, "l_suppkey")[m]
+    rev = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    if sk.size == 0:
+        return []
+    sums = np.bincount(sk, weights=rev)
+    seen = np.bincount(sk, minlength=len(sums)) > 0
+    mx = sums[seen].max()
+    ssk = _col(sup, "s_suppkey")
+    sd = {c: (_col(sup, c), _dict_of(sup, c).values)
+          for c in ("s_name", "s_address", "s_phone")}
+    out = []
+    for r in np.flatnonzero((ssk < len(sums)) & seen[np.minimum(ssk, len(sums) - 1)]):
+        k = int(ssk[r])
+        if sums[k] == mx:
+            out.append({"s_suppkey": k,
+                        "s_name": sd["s_name"][1][int(sd["s_name"][0][r])],
+                        "s_address": sd["s_address"][1][int(sd["s_address"][0][r])],
+                        "s_phone": sd["s_phone"][1][int(sd["s_phone"][0][r])],
+                        "total_revenue": float(sums[k])})
+    return _sorted_limit(out, lambda r: r["s_suppkey"])
+
+
+def _q16_np(t, li=None):
+    import numpy as np
+    sup, part, ps = t["supplier"], t["part"], t["partsupp"]
+    bad_c = _contains_seq(_dict_of(sup, "s_comment").values,
+                          "Customer", "Complaints")
+    bad = _lut(_col(sup, "s_suppkey"), bad_c[_col(sup, "s_comment")], False)
+    pk = _col(part, "p_partkey")
+    types = _dict_of(part, "p_type").values.astype(str)
+    b45 = _dict_of(part, "p_brand").code_of("Brand#45")
+    sizes = np.array([49, 14, 23, 45, 19, 3, 36, 9])
+    ok = ((_col(part, "p_brand") != b45)
+          & ~np.char.startswith(types, "MEDIUM POLISHED")[_col(part, "p_type")]
+          & np.isin(_col(part, "p_size"), sizes))
+    part_ok = _lut(pk, ok, False)
+    part_brand = _lut(pk, _col(part, "p_brand"))
+    part_type = _lut(pk, _col(part, "p_type"))
+    part_size = _lut(pk, _col(part, "p_size"))
+
+    pspk, pssk = _col(ps, "ps_partkey"), _col(ps, "ps_suppkey")
+    m = part_ok[pspk] & ~bad[pssk]
+    # distinct suppliers per (brand, type, size): dedupe composite + supplier
+    b, ty, sz = part_brand[pspk[m]], part_type[pspk[m]], part_size[pspk[m]]
+    gkey = ((b.astype(np.int64) * 1000 + ty) * 100 + sz)
+    comp = np.unique(gkey * (int(pssk.max()) + 1) + pssk[m])
+    gids, cnts = np.unique(comp // (int(pssk.max()) + 1), return_counts=True)
+    bvals = _dict_of(part, "p_brand").values
+    tvals = _dict_of(part, "p_type").values
+    out = [{"p_brand": bvals[int(g) // 100000],
+            "p_type": tvals[(int(g) // 100) % 1000],
+            "p_size": int(g) % 100, "supplier_cnt": int(n)}
+           for g, n in zip(gids, cnts)]
+    return _sorted_limit(out, lambda r: (-r["supplier_cnt"], r["p_brand"],
+                                         r["p_type"], r["p_size"]))
+
+
+def _q17_np(t, li=None):
+    import numpy as np
+    part, l = t["part"], t["lineitem"]
+    b23 = _dict_of(part, "p_brand").code_of("Brand#23")
+    box = _dict_of(part, "p_container").code_of("MED BOX")
+    part_ok = _lut(_col(part, "p_partkey"),
+                   (_col(part, "p_brand") == b23)
+                   & (_col(part, "p_container") == box), False)
+    lpk = _col(l, "l_partkey")
+    qty = _dec(l, "l_quantity")
+    n = np.bincount(lpk, minlength=int(lpk.max()) + 1)
+    s = np.bincount(lpk, weights=qty, minlength=int(lpk.max()) + 1)
+    avg = s / np.maximum(n, 1)
+    m = part_ok[lpk] & (qty < 0.2 * avg[lpk])
+    if not m.any():
+        return [{"avg_yearly": None}]
+    return [{"avg_yearly": float(_dec(l, "l_extendedprice")[m].sum() / 7.0)}]
+
+
+def _q18_np(t, li=None):
+    import numpy as np
+    cus, orde, l = t["customer"], t["orders"], t["lineitem"]
+    lok = _col(l, "l_orderkey")
+    qty = np.bincount(lok, weights=_dec(l, "l_quantity"),
+                      minlength=int(lok.max()) + 1)
+    okey = _col(orde, "o_orderkey")
+    big = (okey < len(qty)) & (qty[np.minimum(okey, len(qty) - 1)] > 300)
+    rows = np.flatnonzero(big)
+    cust_row = _lut(_col(cus, "c_custkey"),
+                    np.arange(len(_col(cus, "c_custkey"))), -1)
+    cname = _col(cus, "c_name")
+    cname_vals = _dict_of(cus, "c_name").values
+    tp = _dec(orde, "o_totalprice")
+    od = _col(orde, "o_orderdate")
+    ocust = _col(orde, "o_custkey")
+    out = []
+    for r in rows:
+        ck = int(ocust[r])
+        out.append({"c_name": cname_vals[int(cname[int(cust_row[ck])])],
+                    "c_custkey": ck, "o_orderkey": int(okey[r]),
+                    "o_orderdate": int(od[r]),
+                    "o_totalprice": float(tp[r]),
+                    "sum_qty": float(qty[int(okey[r])])})
+    return _sorted_limit(out, lambda r: (-r["o_totalprice"], r["o_orderdate"]),
+                         100)
+
+
+def _q19_np(t, li=None):
+    import numpy as np
+    part, l = t["part"], t["lineitem"]
+    pk = _col(part, "p_partkey")
+    bd = _dict_of(part, "p_brand")
+    cd = _dict_of(part, "p_container")
+    part_brand = _lut(pk, _col(part, "p_brand"), -1)
+    part_cont = _lut(pk, _col(part, "p_container"), -1)
+    part_size = _lut(pk, _col(part, "p_size"), -1)
+    smd = _dict_of(l, "l_shipmode")
+    sid = _dict_of(l, "l_shipinstruct")
+    base = (np.isin(_col(l, "l_shipmode"),
+                    np.array(sorted({smd.code_of("AIR"),
+                                     smd.code_of("AIR REG")})))
+            & (_col(l, "l_shipinstruct") == sid.code_of("DELIVER IN PERSON")))
+    lpk = _col(l, "l_partkey")
+    qty = _dec(l, "l_quantity")
+    sz = part_size[lpk]
+    m = np.zeros(len(lpk), np.bool_)
+    for brand, conts, qlo, qhi, smax in (
+            ("Brand#12", ("SM CASE", "SM BOX", "SM PACK", "SM PKG"), 1, 11, 5),
+            ("Brand#23", ("MED BAG", "MED BOX", "MED PKG", "MED PACK"), 10, 20, 10),
+            ("Brand#34", ("LG CASE", "LG BOX", "LG PACK", "LG PKG"), 20, 30, 15)):
+        ccodes = np.array(sorted(cd.code_of(c) for c in conts))
+        m |= ((part_brand[lpk] == bd.code_of(brand))
+              & np.isin(part_cont[lpk], ccodes)
+              & (qty >= qlo) & (qty <= qhi)
+              & (sz >= 1) & (sz <= smax))
+    m &= base
+    if not m.any():
+        return [{"revenue": None}]
+    rev = (_dec(l, "l_extendedprice") * (1 - _dec(l, "l_discount")))[m]
+    return [{"revenue": float(rev.sum())}]
+
+
+def _q20_np(t, li=None):
+    import numpy as np
+    part, sup, nat, ps, l = (t["part"], t["supplier"], t["nation"],
+                             t["partsupp"], t["lineitem"])
+    lo, hi = _d("1994-01-01"), _d("1995-01-01")
+    names = _dict_of(part, "p_name").values.astype(str)
+    forest = _lut(_col(part, "p_partkey"),
+                  np.char.startswith(names, "forest")[_col(part, "p_name")],
+                  False)
+    ship = _col(l, "l_shipdate")
+    m = (ship >= lo) & (ship < hi)
+    SK = int(max(_col(l, "l_suppkey").max(), _col(ps, "ps_suppkey").max())) + 1
+    lkey = _col(l, "l_partkey")[m].astype(np.int64) * SK \
+        + _col(l, "l_suppkey")[m]
+    uniq, inv = np.unique(lkey, return_inverse=True)
+    shipped = np.bincount(inv, weights=_dec(l, "l_quantity")[m],
+                          minlength=len(uniq))
+    pskey = _col(ps, "ps_partkey").astype(np.int64) * SK + _col(ps, "ps_suppkey")
+    pos = np.searchsorted(uniq, pskey)
+    pos_ok = (pos < len(uniq))
+    hit = np.zeros(len(pskey), np.bool_)
+    hit[pos_ok] = uniq[np.minimum(pos, len(uniq) - 1)][pos_ok] == pskey[pos_ok]
+    good = (forest[_col(ps, "ps_partkey")] & hit
+            & (_col(ps, "ps_availqty")
+               > 0.5 * shipped[np.minimum(pos, len(uniq) - 1)]))
+    good_supp = np.zeros(SK, np.bool_)
+    good_supp[_col(ps, "ps_suppkey")[good]] = True
+    canada = _dict_of(nat, "n_name").code_of("CANADA")
+    nat_ca = _lut(_col(nat, "n_nationkey"),
+                  _col(nat, "n_name") == canada, False)
+    ssk = _col(sup, "s_suppkey")
+    sm = good_supp[ssk] & nat_ca[_col(sup, "s_nationkey")]
+    sn = _dict_of(sup, "s_name").values
+    sa = _dict_of(sup, "s_address").values
+    out = [{"s_name": sn[int(_col(sup, "s_name")[r])],
+            "s_address": sa[int(_col(sup, "s_address")[r])]}
+           for r in np.flatnonzero(sm)]
+    return _sorted_limit(out, lambda r: r["s_name"])
+
+
+def _q22_np(t, li=None):
+    import numpy as np
+    cus, orde = t["customer"], t["orders"]
+    phones = _dict_of(cus, "c_phone").values.astype(str)
+    cc = np.array([p[:2] for p in phones], dtype=object)
+    codes = {"13", "31", "23", "29", "30", "18", "17"}
+    ok_phone = np.array([c in codes for c in cc], np.bool_)
+    elig = ok_phone[_col(cus, "c_phone")]
+    bal = _dec(cus, "c_acctbal")
+    pos = bal[elig & (bal > 0.0)]
+    if pos.size == 0:
+        return []
+    avg = float(pos.mean())
+    ck = _col(cus, "c_custkey")
+    has_order = np.zeros(int(ck.max()) + 1, np.bool_)
+    oc = _col(orde, "o_custkey")
+    has_order[oc[oc <= ck.max()]] = True
+    m = elig & (bal > avg) & ~has_order[ck]
+    code_per_cust = cc[_col(cus, "c_phone")[m]]
+    groups = {}
+    for c, b in zip(code_per_cust, bal[m]):
+        g = groups.setdefault(c, [0, 0.0])
+        g[0] += 1
+        g[1] += float(b)
+    out = [{"cntrycode": k, "numcust": v[0], "totacctbal": v[1]}
+           for k, v in groups.items()]
+    return _sorted_limit(out, lambda r: r["cntrycode"])
+
+
+_FAST = {1: _q1_np, 2: _q2_np, 3: _q3_np, 4: _q4_np, 5: _q5_np, 6: _q6_np,
+         7: _q7_np, 8: _q8_np, 9: _q9_np, 10: _q10_np, 11: _q11_np,
+         12: _q12_np, 13: _q13_np, 14: _q14_np, 15: _q15_np, 16: _q16_np,
+         17: _q17_np, 18: _q18_np, 19: _q19_np, 20: _q20_np, 21: _q21_np,
+         22: _q22_np}
