@@ -157,18 +157,22 @@ def main():
     @jax.jit
     def f_probe(t, h):
         # bucket-descriptor fetch + candidate expansion + build-index gather:
-        # the probe-side hot path shared by every join type (see join.py)
+        # the probe-side hot path shared by every join type (see join.py).
+        # Mirrors the real fused path: the per-row offset rides the
+        # replication row-gather; the perm deref is the second @c gather.
         cr = ht.probe_candidates(t, h, ones, N)
-        sidecar = jnp.stack([jnp.arange(N, dtype=jnp.int32),
-                             cr.start - cr.base], axis=0)
-        rep = replicate_rows_exact(sidecar, cr.base, cr.count, out_cap)
+        rep = replicate_rows_exact((cr.start - cr.base)[None, :],
+                                   cr.base, cr.count, out_cap)
         j = jnp.arange(out_cap, dtype=jnp.int32)
-        build_idx = jnp.take(t.perm, rep[1] + j, mode="clip")
+        build_idx = jnp.take(t.perm, rep[0] + j, mode="clip")
         return cr.total + jnp.sum(jnp.where(j < cr.total, build_idx, 0))
 
     c = out_cap
+    # model: descriptor gather(N) + segment-start scatter(N) + the expansion
+    # pair — fill-ids row-gather(c) + row fetch(c) (irreducible: expansion
+    # must materialize positions, then fetch through them)
     report("probe_expand", timeit(f_probe, table, ph),
-           g * N + sc * N + g * c)
+           g * N + sc * N + 2 * g * c)
 
     # --- full inner join (13-col build side, 2-col probe side) ----------
     @jax.jit
@@ -178,10 +182,12 @@ def main():
         v, valid = out.column("c0")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0)), total
 
-    # model: build(scatter+sort) + probe(g(m)+sc(m)+g(c)) + 2 key gathers(c)
-    #        + pairs: 2 compose gathers(c) + rowgather13(c) + rowgather2(c)
-    join_model = (sc * N + srt) + (g * N + sc * N + g * c) + 2 * g * c \
-        + 2 * g * c + rg * c + g * c
+    # model (deferred-materialization path, ops/join.py): build(scatter+sort)
+    # + descriptor gather(N) + replicate(scatter(N) + fill gather(c)) + narrow
+    # key/id gathers both sides (2c) + match compaction (scatter(c) + index
+    # gather(c)) + final full-row fetches (rowgather13(c) + narrow(c))
+    join_model = (sc * N + srt) + g * N + (sc * N + g * c) + 2 * g * c \
+        + (sc * c + g * c) + (rg * c + g * c)
     report("inner_join_13col", timeit(f_join, build, probe), join_model)
 
     # --- filter (50% selectivity) + compaction --------------------------
@@ -212,8 +218,9 @@ def main():
         v, valid = out.column("sx")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0)), count
 
-    # model: sort(n) + gather(n) sorted keys + boundary work ~ 2 gathers(n)
-    report("hash_aggregate", timeit(f_agg, at), srt + 2 * g * N)
+    # model: sort(n) + the sorted-row fetch (~2 narrow-gather equivalents at
+    # this width) + the boundary-position compaction scatter(n)
+    report("hash_aggregate", timeit(f_agg, at), srt + 2 * g * N + sc * N)
 
     # --- sort (1 key, full table materialization) -----------------------
     @jax.jit

@@ -310,10 +310,11 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
         lo = jnp.where(starts > 0, jnp.take(p, starts - 1, mode="clip"), 0)
         return hi - lo
 
-    ones = sorted_in_row.astype(jnp.int64)
     for a in aggs:
         if a.func == "count_star":
-            cols[a.output] = (seg_sum_sorted(ones), ok)
+            # segment sizes fall out of the boundary positions — no cumsum
+            cols[a.output] = ((ends - starts + 1).astype(jnp.int64)
+                              * ok.astype(jnp.int64), ok)
             continue
         sv, svalid = st.column(a.input)
         svalid = svalid & sorted_in_row
