@@ -345,9 +345,13 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     def pairs_table() -> DeviceTable:
         if gbt is None:
             # deferred path: compact the (pos, probe_idx) index pairs, then
-            # fetch full rows ONCE at the surviving positions
+            # fetch full rows ONCE at the surviving positions. The index
+            # gather goes through take_rows for its >2M-index CHUNKING — a
+            # direct jnp.take at 33.5M indices wants a 17 GB HLO temp
+            # (one tile row per index) and OOMs HBM.
             cidx, n_match = compaction_indices(match)
-            comp = jnp.take(jnp.stack([pos, probe_idx]), cidx, axis=1)
+            comp = PackedTable(jnp.stack([pos, probe_idx]), {},
+                               None).take_rows(cidx).packed
             n = jnp.minimum(n_match, out_cap)
             ok = j < n
             gb_full = PackedTable(bperm.packed[:-1], bperm.f64s,
