@@ -257,11 +257,15 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         probe_idx = rep[0]
         pos = rep[1] + j
         cand = j < cr.total
+        # row-slice + stack, NOT fancy indexing: a gather along the major
+        # axis gets a W-minor output layout that the chunked take_rows loop
+        # carry inherits — [7, 33.5M] W-minor tiles pad 18.3x = a 16 GB HLO
+        # temp (SF10 Q7 OOM). Stacked slices keep the [W, cap] major layout.
         id_row = bperm.packed.shape[0] - 1
-        bn = PackedTable(bperm.packed[jnp.asarray(brows + [id_row]), :],
-                         {}, None).take_rows(pos).packed
-        pn = PackedTable(ppacked.packed[jnp.asarray(prows), :],
-                         {}, None).take_rows(probe_idx).packed
+        bnarrow = jnp.stack([bperm.packed[r] for r in brows + [id_row]])
+        pnarrow = jnp.stack([ppacked.packed[r] for r in prows])
+        bn = PackedTable(bnarrow, {}, None).take_rows(pos).packed
+        pn = PackedTable(pnarrow, {}, None).take_rows(probe_idx).packed
         cand_build_idx = bn[-1]
         # key recheck on packed words: bit equality == value equality for
         # the non-float same-width keys _defer_key_plan admits
