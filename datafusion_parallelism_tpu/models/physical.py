@@ -86,6 +86,10 @@ class PScan(PhysicalPlan):
 class PFilter(PhysicalPlan):
     child: PhysicalPlan
     predicate: Expr
+    # planner's output-row estimate (range/NDV selectivity over catalog
+    # stats); 0 = unknown. Seeds the initial capacity — each avoided
+    # overflow/shrink retry is a full recompile.
+    est_rows: float = 0.0
     node_id: int = field(default_factory=lambda: _next_node_id())
     schema: Schema = None
 
@@ -100,12 +104,18 @@ class PFilter(PhysicalPlan):
 
     def execute(self, tables, ctx):
         child = self.child.execute(tables, ctx)
-        # adaptive output capacity: assume selectivity <= 1/4, grow on
-        # overflow (executor retry) — selective filters shrink every
-        # downstream operator's static working set
+        # adaptive output capacity, seeded by the planner's selectivity
+        # estimate with 2x headroom (default: selectivity <= 1/4); grows on
+        # overflow — selective filters shrink every downstream operator's
+        # static working set
         cap = ctx.join_caps.get(self.node_id)
         if cap is None:
-            cap = min(child.capacity, max(1024, child.capacity // 4))
+            if self.est_rows > 0:
+                cap = min(child.capacity,
+                          round_capacity(int(2 * self.est_rows),
+                                         minimum=1024))
+            else:
+                cap = min(child.capacity, max(1024, child.capacity // 4))
             ctx.join_caps[self.node_id] = cap
         out, total = filter_table(child, self.predicate, cap)
         ctx.join_totals[self.node_id] = total
@@ -194,10 +204,13 @@ class PHashJoin(PhysicalPlan):
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
             if self.est_rows > 0:
-                # planner cardinality estimate, clamped: a wild overestimate
-                # must not out-allocate the inputs by more than 4x (HBM), a
-                # wild underestimate still gets the overflow retry
-                cap = min(round_capacity(int(self.est_rows), minimum=1024),
+                # planner cardinality estimate with 1.3x headroom (the
+                # estimate is MATCHES; the capacity bounds CANDIDATES, which
+                # add CSR bucket-collision false positives), clamped: a wild
+                # overestimate must not out-allocate the inputs by more than
+                # 4x (HBM), a wild underestimate still gets the retry
+                cap = min(round_capacity(int(1.3 * self.est_rows),
+                                         minimum=1024),
                           4 * max(256, b.capacity, p.capacity))
             else:
                 # ~1 match per probe row is the common FK-join shape;

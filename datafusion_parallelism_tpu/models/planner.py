@@ -470,9 +470,10 @@ class Planner:
             if label in nullable:
                 residual.extend(preds)
                 continue
-            for e in lowered:
-                rel.plan = PFilter(rel.plan, e)
-            self._apply_filter_estimate(rel, preds, scope)
+            for e, p in zip(lowered, preds):
+                sel = self._pred_selectivity(rel, p, scope)
+                rel.est_rows = max(1.0, rel.est_rows * sel)
+                rel.plan = PFilter(rel.plan, e, est_rows=rel.est_rows)
 
         # explicit JOIN clauses fold left-deep over the comma-list result
         plan_rel = self._order_joins(relations, equi_edges, scope)
@@ -577,12 +578,6 @@ class Planner:
             nd = float(rel.reg.distinct_of(col))
             return min(max(len(c.items) / max(nd, 1.0), 0.0), 1.0)
         return DEFAULT
-
-    def _apply_filter_estimate(self, rel: "Relation", preds, scope) -> None:
-        sel = 1.0
-        for p in preds:
-            sel *= self._pred_selectivity(rel, p, scope)
-        rel.est_rows = max(1.0, rel.est_rows * sel)
 
     # -- join ordering over the comma-list ------------------------------------
     def _order_joins(self, pool: List[Relation], edges, scope) -> Relation:
@@ -955,8 +950,10 @@ class Planner:
                     preds.append(c)
                     inner_filters.remove(c)
             for p in preds:
-                rel.plan = PFilter(rel.plan, sub_planner.lower(p, rel.plan.schema, inner_scope))
-            sub_planner._apply_filter_estimate(rel, preds, inner_scope)
+                e = sub_planner.lower(p, rel.plan.schema, inner_scope)
+                sel = sub_planner._pred_selectivity(rel, p, inner_scope)
+                rel.est_rows = max(1.0, rel.est_rows * sel)
+                rel.plan = PFilter(rel.plan, e, est_rows=rel.est_rows)
         inner_rel = sub_planner._order_joins(inner_rels, inner_edges, inner_scope)
         inner_plan = inner_rel.plan
         for c in inner_filters:  # leftover multi-relation filters
@@ -1293,6 +1290,10 @@ class Planner:
                 est_groups = 0.0
                 break
             est_groups *= d
+        if est_groups > 0:
+            # composite per-key NDV products wildly overestimate group
+            # counts through joins; the child's output rows bound them
+            est_groups = min(est_groups, _estimate_rows(plan, self.catalog))
         # (a bare count(*) has no inputs: aggregate the child directly — an
         # empty projection would produce a zero-column, zero-capacity table)
         plan = PAggregate(plan, [n for _, n in pre_exprs if n.startswith("__g")],

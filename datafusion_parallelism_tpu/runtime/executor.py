@@ -50,6 +50,22 @@ def _maybe_dump_hlo(lowered, tag: str):
             f.write(lowered.as_text())
 
 
+# don't shrink-retry small overshoots: below this capacity the recompile
+# costs more than the memory it frees
+_SHRINK_FLOOR = 1 << 20
+
+
+def _debug_retry(kind, key, node, cap, total, fit):
+    """DFP_DEBUG_RETRIES=1: print each capacity correction (which node, how
+    far off the estimate was) — every retry is a recompile, so this is the
+    tuning loop for the planner's cardinality estimates."""
+    import os
+    if os.environ.get("DFP_DEBUG_RETRIES"):
+        desc = node.describe() if node is not None else "?"
+        print(f"[retry:{kind}] cap[{key}] {cap} -> {fit} (true total {total})"
+              f" at {desc}", flush=True)
+
+
 class QueryHandle:
     """A compiled, re-runnable query (analog of a criterion-prepared plan,
     reference benches/utils/prepare_query.rs)."""
@@ -284,7 +300,7 @@ class QueryHandle:
             self.metrics.run_time_s += time.time() - t0
 
             overflow = False
-            for (k, _), total in zip(adaptive, totals):
+            for (k, n), total in zip(adaptive, totals):
                 # nodes fused away (filter under a global aggregate) report 0
                 # and never own a capacity
                 cap = self._caps.get(k, total)
@@ -292,11 +308,15 @@ class QueryHandle:
                 if total > cap:
                     self._caps[k] = fit
                     overflow = True
-                elif cap > 4 * fit:
+                    _debug_retry("grow", k, n, cap, total, fit)
+                elif cap > 4 * fit and cap > _SHRINK_FLOOR:
                     # shrink-on-overshoot: heuristic capacities that came in
-                    # far too large re-specialize once (compile is cached)
+                    # far too large re-specialize once (compile is cached).
+                    # Small overshoots stay: the recompile costs more than
+                    # the memory (floor = 1M rows)
                     self._caps[k] = fit
                     overflow = True
+                    _debug_retry("shrink", k, n, cap, total, fit)
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
                 self._save_caps(adaptive)
@@ -379,10 +399,13 @@ class QueryHandle:
                 self.metrics.run_time_s += time.time() - t0
 
                 overflow = False
-                for (k, _), total in zip(sub_adaptive, totals):
+                for (k, n), total in zip(sub_adaptive, totals):
                     cap = self._caps.get(k, total)
                     fit = round_capacity(max(total, 1), minimum=1024)
-                    if total > cap or (total > 0 and cap > 4 * fit):
+                    if total > cap or (total > 0 and cap > 4 * fit
+                                       and cap > _SHRINK_FLOOR):
+                        _debug_retry("grow" if total > cap else "shrink",
+                                     k, n, cap, total, fit)
                         self._caps[k] = fit
                         overflow = True
                 self.metrics.join_caps = dict(self._caps)

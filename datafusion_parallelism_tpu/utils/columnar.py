@@ -470,10 +470,20 @@ class PackedTable(NamedTuple):
         """Gather rows: one minor-axis gather + one per float64 column."""
         n = indices.shape[0]
         ch = self._GATHER_CHUNK
-        if n > ch and n % ch == 0:
-            # fori_loop + dynamic_update_slice, NOT lax.map: map's stacked
-            # [C, W, chunk] accumulator gets a W-minor layout and pays the
-            # same 42x tile padding this chunking exists to avoid
+        if n > ch and n % ch == 0 and n // ch <= 64:
+            # UNROLLED chunk gathers + one concat — NOT a fori_loop carry and
+            # NOT lax.map: a while-loop [W, n] carry consumed by downstream
+            # gathers gets copied into a W-MINOR layout (s32[12, 33.5M]
+            # tile-padded 10.7x = 16 GB HLO temp, SF10 Q7/Q9 OOM), and map's
+            # stacked [C, W, chunk] accumulator has the same disease. The
+            # unrolled chain measures 4.8 GB total temp at the same shapes.
+            parts = []
+            for i in range(n // ch):
+                ix = jax.lax.dynamic_slice(indices, (i * ch,), (ch,))
+                parts.append(jnp.take(self.packed, ix, axis=1, mode="clip"))
+            packed = jnp.concatenate(parts, axis=1)
+        elif n > ch and n % ch == 0:
+            # extreme chunk counts: bounded trace size wins; keep the loop
             w = self.packed.shape[0]
 
             def body(i, acc):
