@@ -18,6 +18,7 @@ import dataclasses
 from typing import Dict, List, Set
 
 from ..ops.expressions import BinOp, Col, Expr
+from ..ops.join import JoinType
 from ..utils.columnar import Schema
 from .physical import (PAggregate, PFilter, PHashJoin, PLimit, PProject,
                        PScan, PSort, PhysicalPlan)
@@ -152,6 +153,135 @@ class CoalesceFiltersRule:
         return node
 
 
+class PushSemiJoinRule:
+    """Push semi/anti joins below inner joins toward the side that owns the
+    semi keys. Decorrelated IN/EXISTS subqueries attach at the WHERE level —
+    above the whole FROM-clause join tree — so Q18's HAVING-subquery filter
+    otherwise probes the full customer⨝orders⨝lineitem (60M rows at SF10,
+    an 8 GB candidate capacity that OOMs a v5e) instead of filtering the
+    15M-row orders scan down to a few hundred rows first. Filtering a side
+    of an inner join before or after the join is equivalent (semi/anti
+    never duplicate rows and test only key membership), so the rewrite is
+    safe through PProject (identity columns), PFilter, and INNER joins.
+    Residual-carrying semi joins (correlated predicates) are left alone.
+
+    The reference reaches the same shape via DataFusion's
+    decorrelate_predicate_subquery, which plants the semi join at the
+    subquery's own filter level rather than above the join tree."""
+
+    SEMI = (JoinType.LEFT_SEMI, JoinType.RIGHT_SEMI)
+    ANTI = (JoinType.LEFT_ANTI, JoinType.RIGHT_ANTI)
+
+    def __init__(self, catalog):
+        self.catalog = catalog
+
+    def optimize(self, plan: PhysicalPlan) -> PhysicalPlan:
+        return self._rewrite(plan)
+
+    def _rewrite(self, node: PhysicalPlan) -> PhysicalPlan:
+        for attr in ("child", "build", "probe"):
+            if hasattr(node, attr):
+                setattr(node, attr, self._rewrite(getattr(node, attr)))
+        if (isinstance(node, PHashJoin)
+                and node.join_type in self.SEMI + self.ANTI):
+            node = self._try_push(node)
+        if hasattr(node, "__post_init__"):
+            node.__post_init__()
+        return node
+
+    def _try_push(self, sj: PHashJoin) -> PHashJoin:
+        from .planner import _estimate_rows, _join_candidates_est
+        if sj.residual is not None:
+            return sj
+        right_side = sj.join_type in (JoinType.RIGHT_SEMI,
+                                      JoinType.RIGHT_ANTI)
+        filtered = sj.probe if right_side else sj.build
+        keys = list(sj.probe_keys if right_side else sj.build_keys)
+
+        # descend through projects/filters/inner joins to the deepest
+        # subtree that still carries every semi key as a bare column
+        spine: List = []  # (node, attr we descended through)
+        cur = filtered
+        passed_join = False
+        while True:
+            if isinstance(cur, PProject):
+                mapped = []
+                for k in keys:
+                    e = next((e for e, n in cur.exprs if n == k), None)
+                    if not isinstance(e, Col):
+                        mapped = None
+                        break
+                    mapped.append(e.name)
+                if mapped is None:
+                    break
+                spine.append((cur, "child"))
+                keys = mapped
+                cur = cur.child
+            elif isinstance(cur, PFilter):
+                spine.append((cur, "child"))
+                cur = cur.child
+            elif (isinstance(cur, PHashJoin)
+                  and cur.join_type is JoinType.INNER):
+                if all(k in cur.build.schema.names for k in keys):
+                    spine.append((cur, "build"))
+                    cur = cur.build
+                elif all(k in cur.probe.schema.names for k in keys):
+                    spine.append((cur, "probe"))
+                    cur = cur.probe
+                else:
+                    break
+                passed_join = True
+            else:
+                break
+        if not passed_join:
+            return sj
+
+        target = cur
+        keep = sj.build if right_side else sj.probe  # the key-set side
+        t_est = _estimate_rows(target, self.catalog)
+        k_est = _estimate_rows(keep, self.catalog)
+        if right_side:
+            cand = _join_candidates_est(keep, target, sj.build_keys, keys,
+                                        k_est, t_est, self.catalog)
+            new_sj = PHashJoin(keep, target, sj.build_keys, keys,
+                               sj.join_type, sj.strategy, None,
+                               sj.dist_mode, cand)
+        else:
+            cand = _join_candidates_est(target, keep, keys, sj.probe_keys,
+                                        t_est, k_est, self.catalog)
+            new_sj = PHashJoin(target, keep, keys, sj.probe_keys,
+                               sj.join_type, sj.strategy, None,
+                               sj.dist_mode, cand)
+        new_sj.join_id = sj.join_id  # executor capacities key on this
+        new_sj.__post_init__()
+
+        # scale every estimate on the spine by the semi's reduction factor
+        # (anti joins keep factor 1: no reliable reduction estimate)
+        factor = 1.0
+        if sj.join_type in self.SEMI and t_est > 0:
+            factor = max(1e-6, min(1.0, min(t_est, cand) / t_est))
+
+        child: PhysicalPlan = new_sj
+        for node, attr in reversed(spine):
+            if isinstance(node, PHashJoin):
+                b = child if attr == "build" else node.build
+                p = child if attr == "probe" else node.probe
+                nn = PHashJoin(b, p, node.build_keys, node.probe_keys,
+                               node.join_type, node.strategy, node.residual,
+                               node.dist_mode,
+                               max(1.0, node.est_rows * factor))
+                nn.join_id = node.join_id
+                nn.__post_init__()
+            elif isinstance(node, PFilter):
+                nn = PFilter(child, node.predicate,
+                             max(0.0, node.est_rows * factor))
+                nn.node_id = node.node_id
+            else:  # PProject
+                nn = PProject(child, node.exprs, node.out_fields)
+            child = nn
+        return child
+
+
 class ChooseDistModeRule:
     """Pick each join's distributed execution mode from statistics — the
     analog of the reference's broadcast-join threshold (its benchmark sizes
@@ -185,6 +315,8 @@ class ChooseDistModeRule:
 
 def optimize_plan(plan: PhysicalPlan, catalog=None, config=None) -> PhysicalPlan:
     plan = CoalesceFiltersRule().optimize(plan)
+    if catalog is not None:
+        plan = PushSemiJoinRule(catalog).optimize(plan)
     plan = PruneColumnsRule().optimize(plan)
     if catalog is not None and config is not None:
         plan = ChooseDistModeRule(catalog, config).optimize(plan)
