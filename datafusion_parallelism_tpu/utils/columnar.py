@@ -414,11 +414,21 @@ def compaction_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Entries past n point at arbitrary kept rows; callers mask with j < n.
     """
     cap = mask.shape[0]
+    n = jnp.sum(mask, dtype=jnp.int32)
+    import os
+    if os.environ.get("DFP_COMPACT_SORT"):
+        # stable argsort of ~mask: kept rows (key 0) first in original order,
+        # failing rows after — entries past n point at FAILING rows instead
+        # of arbitrary kept ones, equally fine under the j < n contract.
+        # int32 radix argsort measures ~6.7 ms at 4M vs ~38 ms for the
+        # 4M-index scatter (roofline primitives); sandwich A/B gate.
+        perm = jnp.argsort((~mask).astype(jnp.int32),
+                           stable=True).astype(jnp.int32)
+        return perm, n
     pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
     dest = jnp.where(mask, pos, cap)
     gather_idx = (jnp.zeros((cap,), jnp.int32)
                   .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop"))
-    n = jnp.sum(mask, dtype=jnp.int32)
     return gather_idx, n
 
 
@@ -568,11 +578,18 @@ def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
     their validity reads False).
     """
     cap = mask.shape[0]
-    pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
-    keep = mask & (pos < out_cap)
-    dest = jnp.where(keep, pos, out_cap)
-    gidx = jnp.zeros((out_cap,), jnp.int32).at[dest].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    import os
+    if os.environ.get("DFP_COMPACT_SORT"):
+        # see compaction_indices: stable argsort replaces the index scatter;
+        # the first out_cap perm entries ARE the survivor gather list
+        gidx = jnp.argsort((~mask).astype(jnp.int32),
+                           stable=True).astype(jnp.int32)[:out_cap]
+    else:
+        pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
+        keep = mask & (pos < out_cap)
+        dest = jnp.where(keep, pos, out_cap)
+        gidx = jnp.zeros((out_cap,), jnp.int32).at[dest].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
     n = jnp.sum(mask, dtype=jnp.int32)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < n
     res = []
