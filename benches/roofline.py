@@ -184,10 +184,10 @@ def main():
 
     # model (deferred-materialization path, ops/join.py): build(scatter+sort)
     # + descriptor gather(N) + replicate(scatter(N) + fill gather(c)) + narrow
-    # key/id gathers both sides (2c) + match compaction (scatter(c) + index
+    # key/id gathers both sides (2c) + match compaction (argsort(c) + index
     # gather(c)) + final full-row fetches (rowgather13(c) + narrow(c))
     join_model = (sc * N + srt) + g * N + (sc * N + g * c) + 2 * g * c \
-        + (sc * c + g * c) + (rg * c + g * c)
+        + (srt * c / N + g * c) + (rg * c + g * c)
     report("inner_join_13col", timeit(f_join, build, probe), join_model)
 
     # --- filter (50% selectivity) + compaction --------------------------
@@ -199,10 +199,10 @@ def main():
         v, valid = out.column("c1")
         return jnp.sum(jnp.where(valid, v, 0)), out.num_rows
 
-    # model: compaction_indices = cumsum (free) + scatter(n); gather_table
-    # pays one gather per column pair (13 cols -> ~rowgather via packed path
-    # or per-column gathers; the floor is scatter(n) + rowgather13(n))
-    report("filter_compact", timeit(f_filter, build), sc * N + rg * N)
+    # model: compaction_indices = stable argsort of the mask (survivors
+    # first); gather_table pays one packed row-gather through it — the floor
+    # is argsort(n) + rowgather13(n)
+    report("filter_compact", timeit(f_filter, build), srt + rg * N)
 
     # --- hash aggregate (1 key, 2 aggs, 64k groups) ---------------------
     gk = rng.integers(0, 1 << 16, N).astype(np.int32)
@@ -219,8 +219,8 @@ def main():
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0)), count
 
     # model: sort(n) + the sorted-row fetch (~2 narrow-gather equivalents at
-    # this width) + the boundary-position compaction scatter(n)
-    report("hash_aggregate", timeit(f_agg, at), srt + 2 * g * N + sc * N)
+    # this width) + the boundary-position compaction (argsort(n))
+    report("hash_aggregate", timeit(f_agg, at), 2 * srt + 2 * g * N)
 
     # --- sort (1 key, full table materialization) -----------------------
     @jax.jit

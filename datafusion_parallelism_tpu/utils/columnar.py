@@ -416,20 +416,23 @@ def compaction_indices(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cap = mask.shape[0]
     n = jnp.sum(mask, dtype=jnp.int32)
     import os
-    if os.environ.get("DFP_COMPACT_SORT"):
-        # stable argsort of ~mask: kept rows (key 0) first in original order,
-        # failing rows after — entries past n point at FAILING rows instead
-        # of arbitrary kept ones, equally fine under the j < n contract.
-        # int32 radix argsort measures ~6.7 ms at 4M vs ~38 ms for the
-        # 4M-index scatter (roofline primitives); sandwich A/B gate.
-        perm = jnp.argsort((~mask).astype(jnp.int32),
-                           stable=True).astype(jnp.int32)
-        return perm, n
-    pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
-    dest = jnp.where(mask, pos, cap)
-    gather_idx = (jnp.zeros((cap,), jnp.int32)
-                  .at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop"))
-    return gather_idx, n
+    if os.environ.get("DFP_COMPACT_SCATTER"):
+        # legacy cumsum+scatter idiom, kept env-gated for sandwich A/Bs
+        pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
+        dest = jnp.where(mask, pos, cap)
+        gather_idx = (jnp.zeros((cap,), jnp.int32)
+                      .at[dest].set(jnp.arange(cap, dtype=jnp.int32),
+                                    mode="drop"))
+        return gather_idx, n
+    # stable argsort of ~mask: kept rows (key 0) first in original order,
+    # failing rows after — entries past n point at FAILING rows instead
+    # of arbitrary kept ones, equally fine under the j < n contract.
+    # int32 radix argsort measures ~8 ms at 4M vs ~39 ms for the 4M-index
+    # scatter; sandwich A/B on-chip: filter+compact 1.24x, inner join 1.11x
+    # faster (drift <=3%), so argsort is the default.
+    perm = jnp.argsort((~mask).astype(jnp.int32),
+                       stable=True).astype(jnp.int32)
+    return perm, n
 
 
 def filter_rows(t: DeviceTable, mask: jnp.ndarray) -> DeviceTable:
@@ -579,17 +582,17 @@ def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
     """
     cap = mask.shape[0]
     import os
-    if os.environ.get("DFP_COMPACT_SORT"):
-        # see compaction_indices: stable argsort replaces the index scatter;
-        # the first out_cap perm entries ARE the survivor gather list
-        gidx = jnp.argsort((~mask).astype(jnp.int32),
-                           stable=True).astype(jnp.int32)[:out_cap]
-    else:
+    if os.environ.get("DFP_COMPACT_SCATTER"):
         pos = jnp.cumsum(mask, dtype=jnp.int32) - 1
         keep = mask & (pos < out_cap)
         dest = jnp.where(keep, pos, out_cap)
         gidx = jnp.zeros((out_cap,), jnp.int32).at[dest].set(
             jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    else:
+        # see compaction_indices: stable argsort replaces the index scatter;
+        # the first out_cap perm entries ARE the survivor gather list
+        gidx = jnp.argsort((~mask).astype(jnp.int32),
+                           stable=True).astype(jnp.int32)[:out_cap]
     n = jnp.sum(mask, dtype=jnp.int32)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < n
     res = []
