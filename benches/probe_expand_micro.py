@@ -58,12 +58,18 @@ def main():
     base = jax.device_put(cr.base)
 
     stages = {}
+    # Every stage returns a FULL-materialization reduction (jnp.sum, or
+    # sum(x * iota) for prefix-scan outputs): a [-1]-slice consumer lets XLA
+    # rewrite the whole stage to a cheap reduction / 1-index gather
+    # (roofline.py measured 2-5 ms "argsorts" that honestly cost ~8 ms).
+    iota_c = jnp.arange(OUT_CAP, dtype=jnp.int64)
+    iota_n = jnp.arange(N, dtype=jnp.int64)
 
     # s1: descriptor fetch alone (the int64 start_count gather + unpack)
     @jax.jit
     def s1(t, h):
         s, c = ht.probe_ranges(t, h, ones, N)
-        return s[-1] + c[-1]
+        return jnp.sum(s.astype(jnp.int64) * iota_n) + jnp.sum(c)
     stages["probe_ranges (desc gather)"] = timeit(s1, table, ph)
 
     # s1b: a bare 1-D int32 gather of N for comparison
@@ -72,21 +78,22 @@ def main():
 
     @jax.jit
     def s1b(v, i):
-        return jnp.take(v, i, mode="clip")[-1]
+        return jnp.sum(jnp.take(v, i, mode="clip"))
     stages["bare gather(N) int32"] = timeit(s1b, vals32, idx)
 
     vals64 = vals32.astype(jnp.int64) if jax.config.jax_enable_x64 else None
     if vals64 is not None:
         @jax.jit
         def s1c(v, i):
-            return jnp.take(v, i, mode="clip")[-1]
+            return jnp.sum(jnp.take(v, i, mode="clip"))
         stages["bare gather(N) int64"] = timeit(s1c, vals64, idx)
 
-    # s2: + cumsum over count (probe_candidates minus probe_ranges)
+    # s2: + cumsum over count (probe_candidates minus probe_ranges);
+    # sum(cum * iota) forces every prefix, not just the total
     @jax.jit
     def s2(c):
         cum = jnp.cumsum(c, dtype=jnp.int32)
-        return cum[-1]
+        return jnp.sum(cum.astype(jnp.int64) * iota_n)
     stages["cumsum(N)"] = timeit(s2, count)
 
     # s3: replicate (scatter + cummax + fill gather) on a [1, m] matrix
@@ -95,7 +102,7 @@ def main():
     @jax.jit
     def s3(p, b, c):
         rep = replicate_rows_exact(p, b, c, OUT_CAP)
-        return rep[0, -1]
+        return jnp.sum(rep[0].astype(jnp.int64) * iota_c)
     stages["replicate [1,m] (scatter+cummax+take_rows)"] = timeit(
         s3, p1, base, count)
 
@@ -105,7 +112,7 @@ def main():
         dest = jnp.where(c > 0, b, OUT_CAP)
         seg = (jnp.zeros((OUT_CAP,), jnp.int32)
                .at[dest].max(jnp.arange(N, dtype=jnp.int32), mode="drop"))
-        return jax.lax.cummax(seg)[-1]
+        return jnp.sum(jax.lax.cummax(seg).astype(jnp.int64) * iota_c)
     stages["scatter(N)+cummax(c)"] = timeit(s3b, base, count)
 
     # s3c: the fill gather as a plain 1-D take instead of take_rows
@@ -117,20 +124,28 @@ def main():
 
     @jax.jit
     def s3c(v, i):
-        return jnp.take(v, i, mode="clip")[-1]
+        return jnp.sum(jnp.take(v, i, mode="clip"))
     stages["fill gather 1-D take(c)"] = timeit(s3c, row0, fill_idx)
 
     @jax.jit
     def s3d(p, i):
-        return PackedTable(p, {}, None).take_rows(i).packed[0, -1]
+        return jnp.sum(PackedTable(p, {}, None).take_rows(i).packed[0])
     stages["fill gather take_rows [1,m](c)"] = timeit(s3d, p1, fill_idx)
 
-    # s4: perm deref gather(c)
+    # s4: perm deref gather(c) at the REAL index distribution — the
+    # replicated (start - base) offsets plus the slot iota, masked to the
+    # true candidate total (fill_idx + j ranges to ~2.5x the perm length and
+    # mode='clip' would collapse most lookups onto the last element)
+    total = int(jax.jit(lambda c: jnp.sum(c, dtype=jnp.int32))(count))
+    rep_off = jax.jit(lambda p, i: PackedTable(p, {}, None).take_rows(i)
+                      .packed[0])(p1, fill_idx)
+
     @jax.jit
-    def s4(perm, i):
+    def s4(perm, off):
         j = jnp.arange(OUT_CAP, dtype=jnp.int32)
-        return jnp.take(perm, i + j, mode="clip")[-1]
-    stages["perm deref gather(c)"] = timeit(s4, table.perm, fill_idx)
+        pos = jnp.where(j < total, off + j, 0)
+        return jnp.sum(jnp.take(perm, pos, mode="clip"))
+    stages["perm deref gather(c)"] = timeit(s4, table.perm, rep_off)
 
     for k, v in stages.items():
         print(f"{k:45s} {v:8.2f} ms")

@@ -24,16 +24,26 @@ class SessionConfig:
                  join_strategy: JoinStrategy = JoinStrategy.CSR,
                  replacement_required: bool = True,
                  broadcast_threshold: int = 4096,
-                 skew_salting: bool = False,
-                 skew_factor: float = 8.0):
+                 skew_salting: Optional[bool] = None,
+                 skew_factor: float = 8.0,
+                 skew_threshold: float = 4.0,
+                 distributed_staged: Optional[bool] = None):
         self.target_partitions = target_partitions
         self.join_strategy = join_strategy
         self.replacement_required = replacement_required
         # distributed-mode knobs (the reference's broadcast-join threshold +
-        # the salted replacement for work stealing)
+        # the salted replacement for work stealing). skew_salting: None =
+        # automatic from statistics (a join salts itself when the probe
+        # side's hottest key would load one device at >= skew_threshold x
+        # the balanced share); True/False force it on/off.
         self.broadcast_threshold = broadcast_threshold
         self.skew_salting = skew_salting
         self.skew_factor = skew_factor
+        self.skew_threshold = skew_threshold
+        # None = auto: multi-join plans over large inputs execute staged
+        # (per-join shard_map programs with materialized boundaries) so each
+        # launch's per-device working set stays bounded
+        self.distributed_staged = distributed_staged
 
 
 class SessionContext:

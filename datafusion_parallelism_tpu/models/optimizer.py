@@ -306,11 +306,37 @@ class ChooseDistModeRule:
                 node.dist_mode = "partitioned"
                 continue
             best = _estimate_rows(node.build, self.catalog)
+            salting = getattr(self.config, "skew_salting", None)
             if best <= getattr(self.config, "broadcast_threshold", 0):
                 node.dist_mode = "broadcast"
-            elif getattr(self.config, "skew_salting", False):
+            elif salting or (salting is None and self._probe_is_skewed(node)):
                 node.dist_mode = "skew_salted"
         return plan
+
+    def _probe_is_skewed(self, node: PHashJoin) -> bool:
+        """Automatic salting: fire when hash-routing the probe side would
+        land one key's rows on a single device at >= skew_threshold x the
+        balanced share (hot share * P). The hot share comes from the
+        catalog's cheap per-column histogram (mcv_share_of); a probe key that
+        does not resolve to a base scan column (renamed through expressions)
+        conservatively reports no skew."""
+        P = getattr(self.config, "target_partitions", 1)
+        if P <= 1:
+            return False
+        threshold = getattr(self.config, "skew_threshold", 4.0)
+        scans = {n.label: n for n in node.probe.walk() if isinstance(n, PScan)}
+        share = None
+        for key in node.probe_keys:
+            label, _, col = key.partition(".")
+            scan = scans.get(label)
+            # scan schemas carry qualified "label.col" names; the key must
+            # resolve to one of them (not a projection-computed column)
+            if scan is None or key not in {f.name for f in scan.schema.fields}:
+                return False
+            s = self.catalog.get(scan.table_name).mcv_share_of(col)
+            # composite keys: the hot (k1,k2) pair share <= each column's own
+            share = s if share is None else min(share, s)
+        return share is not None and share * P >= threshold
 
 
 def optimize_plan(plan: PhysicalPlan, catalog=None, config=None) -> PhysicalPlan:

@@ -67,6 +67,11 @@ class ExecContext:
         # join_id -> PreparedBuild: frozen build sides hoisted out of the
         # per-chunk program by streaming execution
         self.prepared = prepared or {}
+        # distributed-only: join_id -> [P] per-device candidate totals (the
+        # work-balance proxy for scaling efficiency) and the set of sort
+        # nodes that run shard-LOCAL (root ORDER BY merges at collection)
+        self.join_balance: Dict[int, jnp.ndarray] = {}
+        self.local_sort_ids = frozenset()
 
 
 @dataclass

@@ -59,3 +59,38 @@ def sort_table(t: DeviceTable, keys: List[SortKey]) -> DeviceTable:
 def limit_table(t: DeviceTable, n: int) -> DeviceTable:
     return DeviceTable(t.schema, t.columns,
                        jnp.minimum(t.num_rows, jnp.int32(n)))
+
+
+def host_sort_table(t, keys: List[SortKey]):
+    """Stable host-side sort of a HostTable by the same key semantics as
+    sort_table (DESC negates, NULLs per nulls_first, strings by sorted
+    dictionary code).
+
+    Used by the distributed executor's ORDER-BY-without-LIMIT path: shards
+    pre-sort on their own device and the total order is restored here at
+    collection, so NO collective moves the full result (the analog of
+    DataFusion's SortPreservingMerge running on the collecting node; the old
+    path all-gathered the entire table to every device)."""
+    import numpy as np
+    n = t.num_rows
+    operands = []
+    for k in keys:
+        v, valid = t.columns[k.column]
+        v = np.asarray(v)
+        valid = np.asarray(valid)
+        if v.dtype.kind == "f":
+            kv = v.astype(np.float64)
+            big = np.inf
+        else:
+            kv = v.astype(np.int64)
+            big = np.int64(1) << 62
+        if not k.ascending:
+            kv = -kv
+        kv = np.where(valid, kv, -big if k.nulls_first else big)
+        operands.append(kv)
+    # np.lexsort keys: last key is primary -> reverse; stability preserves
+    # the shard-local pre-sort order for equal keys
+    perm = np.lexsort(tuple(reversed(operands))) if operands else np.arange(n)
+    cols = {name: (v[perm], valid[perm])
+            for name, (v, valid) in t.columns.items()}
+    return type(t)(t.schema, cols, n)

@@ -72,6 +72,7 @@ def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
     word (f64 sidecars ride their own — no f64<->i64 bitcast on TPU), and
     ONE fused row-gather compacts the shards' valid prefixes (compact_rows)
     — vs two collectives + two gathers per column unpacked."""
+    from .shuffle import _nbytes, record_comm_bytes
     P_ = lax.psum(1, axis)
     nr = lax.all_gather(t.num_rows, axis)                      # [P]
     cap = t.capacity
@@ -81,6 +82,7 @@ def _all_gather_table(t: DeviceTable, axis: str) -> DeviceTable:
     g = lax.all_gather(pt.packed, axis, axis=1, tiled=True)    # [W, P*cap]
     f64s = {k: lax.all_gather(v, axis, tiled=True)
             for k, v in pt.f64s.items()}
+    record_comm_bytes(_nbytes(g) + sum(_nbytes(v) for v in f64s.values()))
     (cpt,), n = compact_rows([PackedTable(g, f64s, pt.layout)],
                                 mask, P_ * cap)
     return unpack_table(cpt, t.schema, n)

@@ -30,6 +30,35 @@ from ..utils.columnar import (DeviceTable, HostTable, PackedTable, Schema,
 from .mesh import PARTITION_AXIS
 
 
+# ---------------------------------------------------------------------------
+# Collective-volume accounting (the scaling-efficiency proxy: no multi-chip
+# hardware is attached, so per-query COMM BYTES — computable exactly at trace
+# time from the static shapes every collective moves — stands in for measured
+# scaling, alongside per-device work balance. Reset before tracing a step,
+# read after: shapes are static, so one trace accounts the whole program.)
+# Convention: bytes RECEIVED per device per execution of the traced program.
+# ---------------------------------------------------------------------------
+
+_COMM_BYTES = [0]
+
+
+def reset_comm_bytes() -> None:
+    _COMM_BYTES[0] = 0
+
+
+def record_comm_bytes(n: int) -> None:
+    _COMM_BYTES[0] += int(n)
+
+
+def get_comm_bytes() -> int:
+    return _COMM_BYTES[0]
+
+
+def _nbytes(a) -> int:
+    import numpy as np
+    return int(np.prod(a.shape)) * a.dtype.itemsize
+
+
 def route_of(hashes: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
     """Destination partition of each row: high hash bits, unbiased for any P."""
     # multiply-shift map of the top 16 bits onto [0, P)
@@ -79,6 +108,8 @@ def _exchange_and_compact(schema: Schema, layout, send_packed, f64_send,
     recv = recv.reshape(recv.shape[0], P * send_cap)
     f64s = {k: lax.all_to_all(v, axis, 0, 0).reshape(P * send_cap)
             for k, v in f64_send.items()}
+    record_comm_bytes(_nbytes(send_valid) + _nbytes(send_packed)
+                      + sum(_nbytes(v) for v in f64_send.values()))
     (cpt,), n = compact_rows([PackedTable(recv, f64s, layout)],
                                 flat_valid, P * send_cap)
     return unpack_table(cpt, schema, n)

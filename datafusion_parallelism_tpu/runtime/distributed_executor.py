@@ -165,11 +165,15 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
                        build_valid=b_valid, probe_valid=p_valid)
     if expanded:
         out, mask, total = result
-        ctx.join_totals[node.join_id] = lax.pmax(total, axis)
-        return out, mask
-    out, total = result
+    else:
+        out, total = result
+        mask = None
     ctx.join_totals[node.join_id] = lax.pmax(total, axis)
-    return out
+    # LOCAL candidate total: the work-balance proxy (on real hardware
+    # per-device wall time is proportional to candidates processed); the
+    # step returns it per-device (out_specs P(axis)) — no extra collective
+    ctx.join_balance[node.join_id] = total
+    return (out, mask) if expanded else out
 
 
 def _dist_fused_child(node: PAggregate, tables, ctx, axis
@@ -215,6 +219,8 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
         return project_table(execute_dist(node.child, tables, ctx, axis),
                              node.exprs, node.out_fields)
     if isinstance(node, PHashJoin):
+        if node.join_id in ctx.materialized:   # staged execution boundary
+            return ctx.materialized[node.join_id]
         return _dist_join(node, tables, ctx, axis)
     if isinstance(node, PAggregate):
         child, row_filter = _dist_fused_child(node, tables, ctx, axis)
@@ -245,6 +251,13 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
                               child.schema)
     if isinstance(node, PSort):
         child = execute_dist(node.child, tables, ctx, axis)
+        if id(node) in ctx.local_sort_ids:
+            # root ORDER BY without LIMIT: each shard sorts LOCALLY and
+            # keeps its rows; the total order is restored by a host-side
+            # merge at collection (host_sort_table). Zero collective bytes
+            # move — the old path all-gathered the full result to every
+            # device (unbounded for large sorted outputs).
+            return sort_table(child, node.keys)
         full = _all_gather_table(child, axis)
         out = sort_table(full, node.keys)
         me = lax.axis_index(axis)
@@ -314,6 +327,67 @@ class DistributedQueryHandle(QueryHandle):
             leaf_rows = globalize_tree(leaf_rows, self.mesh, self.axis)
         return labels, leaf_cols, leaf_rows, schemas, multiproc
 
+    def _root_local_sort(self):
+        """The root ORDER BY (through projections) when its key columns
+        survive to the output schema — eligible for shard-local sort +
+        host-merge collection. None otherwise."""
+        node, projs = self.plan, False
+        while isinstance(node, PProject):
+            projs, node = True, node.child
+        if not isinstance(node, PSort):
+            return None
+        if projs:
+            out_names = {f.name for f in self.plan.schema.fields}
+            if not all(k.column in out_names for k in node.keys):
+                return None
+        return node
+
+    def _use_staged(self, joins, leaf_cols) -> bool:
+        import os
+        env = os.environ.get("DFP_DIST_STAGED")
+        if env is not None:
+            return bool(int(env)) and len(joins) > 1
+        cfgd = getattr(self.config, "distributed_staged", None)
+        if cfgd is not None:
+            return cfgd and len(joins) > 1
+        total = sum(v.nbytes + valid.nbytes
+                    for cols in leaf_cols for v, valid in cols.values())
+        threshold = int(os.environ.get("DFP_DIST_STAGE_THRESHOLD_BYTES",
+                                       1 << 30))
+        return len(joins) > 1 and total > threshold
+
+    def _finish(self, ocols, onum, root_sort) -> HostTable:
+        out = gather_shards(self.plan.schema, ocols, onum)
+        if root_sort is not None:
+            from ..ops.sort import host_sort_table
+            out = host_sort_table(out, root_sort.keys)
+        return out
+
+    def _check_overflow(self, keys, totals) -> bool:
+        overflow = False
+        for k, total in zip(keys, totals):
+            if isinstance(k, tuple):
+                if total > 0:  # dropped shuffle rows: double the block
+                    self._caps[k] = 2 * self._caps[k]
+                    overflow = True
+                continue
+            cap = self._caps[k]
+            fit = round_capacity(max(total, 1), minimum=1024)
+            if total > cap:
+                self._caps[k] = fit
+                overflow = True
+            elif cap > 4 * fit:
+                # shrink-on-overshoot, as in _run_resident: estimate-led
+                # capacities that came in far too large re-specialize once
+                self._caps[k] = fit
+                overflow = True
+        self.metrics.join_caps = dict(self._caps)
+        return overflow
+
+    @staticmethod
+    def _tree_bytes(tree) -> int:
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree))
+
     def collect(self) -> HostTable:
         # cached like QueryHandle.run (re-tracing per collect is seconds)
         if self._sub_handles is None:
@@ -333,11 +407,18 @@ class DistributedQueryHandle(QueryHandle):
             self._sharded_inputs = self._shard_inputs()
         labels, leaf_cols, leaf_rows, schemas, multiproc = self._sharded_inputs
 
+        root_sort = self._root_local_sort()
+        local_ids = (frozenset({id(root_sort)}) if root_sort is not None
+                     else frozenset())
         joins = find_joins(self.plan)
+        if self._use_staged(joins, leaf_cols):
+            return self._collect_staged(labels, leaf_cols, leaf_rows, schemas,
+                                        multiproc, joins, root_sort, local_ids)
         # per join: candidate total + build/probe shuffle dropped-row counts
         keys = []
         for j in joins:
             keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+        jids = [j.join_id for j in joins]
         plan, axis = self.plan, self.axis
 
         def cache_key():
@@ -353,21 +434,32 @@ class DistributedQueryHandle(QueryHandle):
 
                 @fpartial(jax.shard_map, mesh=self.mesh,
                           in_specs=(P(axis), P(axis)),
-                          out_specs=(P(axis), P(axis), P()))
+                          out_specs=(P(axis), P(axis), P(), P(axis)))
                 def step(leaf_cols, leaf_rows, _caps=caps):
                     tables = {l: local_table(schemas[l], c, r)
                               for l, c, r in zip(labels, leaf_cols, leaf_rows)}
                     ctx = ExecContext(_caps)
+                    ctx.local_sort_ids = local_ids
                     out = execute_dist(plan, tables, ctx, axis)
                     totals = jnp.stack(
                         [jnp.asarray(ctx.join_totals.get(k, 0), jnp.int32)
                          for k in keys]) if keys else jnp.zeros((0,), jnp.int32)
+                    # [1, n_joins] local candidate totals -> [P, n_joins]
+                    balance = jnp.stack(
+                        [jnp.asarray(ctx.join_balance.get(k, 0), jnp.int32)
+                         for k in jids])[None, :] if jids \
+                        else jnp.zeros((1, 0), jnp.int32)
                     ocols, onum = unlocal_table(out)
-                    return ocols, onum, totals
+                    return ocols, onum, totals, balance
 
+                from ..parallel.shuffle import (get_comm_bytes,
+                                                reset_comm_bytes)
                 t0 = time.time()
+                reset_comm_bytes()
                 self._compiled = jax.jit(step).lower(
                     leaf_cols, leaf_rows).compile()
+                # collective volume is exact at trace time (static shapes)
+                self.metrics.comm_bytes = get_comm_bytes()
                 # capacity defaults chosen at trace time are recorded in caps;
                 # key under POST-trace caps so the next call's lookup hits
                 self._caps.update(caps)
@@ -375,33 +467,157 @@ class DistributedQueryHandle(QueryHandle):
                 self.metrics.compile_count += 1
                 self.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
-            ocols, onum, totals = self._compiled(leaf_cols, leaf_rows)
+            ocols, onum, totals, balance = self._compiled(leaf_cols, leaf_rows)
             if multiproc:
                 from ..parallel.multihost import allgather_tree
                 ocols = allgather_tree(ocols)
                 onum = allgather_tree(onum)
+                balance = allgather_tree(balance)
             totals = [int(t) for t in totals]  # host fetch = true sync
             self.metrics.run_time_s += time.time() - t0
+            import numpy as np
+            b = np.asarray(balance)            # [P, n_joins]
+            self.metrics.balance = {
+                jid: [int(x) for x in b[:, i]] for i, jid in enumerate(jids)}
 
-            overflow = False
-            for k, total in zip(keys, totals):
-                if isinstance(k, tuple):
-                    if total > 0:  # dropped shuffle rows: double the block
-                        self._caps[k] = 2 * self._caps[k]
-                        overflow = True
-                    continue
-                cap = self._caps[k]
-                fit = round_capacity(max(total, 1), minimum=1024)
-                if total > cap:
-                    self._caps[k] = fit
-                    overflow = True
-                elif cap > 4 * fit:
-                    # shrink-on-overshoot, as in _run_resident: estimate-led
-                    # capacities that came in far too large re-specialize once
-                    self._caps[k] = fit
-                    overflow = True
-            self.metrics.join_caps = dict(self._caps)
-            if not overflow:
-                return gather_shards(plan.schema, ocols, onum)
+            if not self._check_overflow(keys, totals):
+                return self._finish(ocols, onum, root_sort)
             self.metrics.retries += 1
             self._compiled = None
+
+    def _collect_staged(self, labels, leaf_cols, leaf_rows, schemas,
+                        multiproc, joins, root_sort, local_ids) -> HostTable:
+        """Staged distributed execution: each join subtree runs as its OWN
+        shard_map program, its result staying on the devices as sharded
+        arguments to later stages (the distributed port of
+        QueryHandle._run_staged). This bounds every launch's per-device
+        working set to one join's packs/gathers instead of the whole plan's
+        — the memory discipline the reference gets from streaming probe
+        batches against a frozen build (inner.rs:48-75) with bounded queues
+        upstream (work_stealing_repartition_exec.rs:308-329)."""
+        plan, axis = self.plan, self.axis
+        order: list = []
+        seen = set()
+        join_ids = {id(j) for j in joins}
+
+        def post(n):
+            for c in n.children():
+                post(c)
+            if id(n) in join_ids and id(n) not in seen:
+                seen.add(id(n))
+                order.append(n)
+
+        post(plan)
+        stages = [(True, j) for j in order if j is not plan]
+        stages.append((False, plan))
+        mats: Dict[int, Tuple] = {}      # join_id -> (ocols, onum) sharded
+        mat_schemas: Dict[int, object] = {}
+        self.metrics.stage_bytes = []
+        from ..parallel.shuffle import get_comm_bytes, reset_comm_bytes
+        total_comm = 0
+
+        for stage_idx, (materialize, node) in enumerate(stages):
+            sub_joins = [j for j in joins
+                         if any(m is j for m in node.walk())
+                         and j.join_id not in mats]
+            keys = []
+            for j in sub_joins:
+                keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+            jids = [j.join_id for j in sub_joins]
+            sub_ids = {k for k in keys}
+            is_root = not materialize
+
+            while True:
+                caps = dict(self._caps)
+                mat_keys = sorted(mats)
+                mat_list = [mats[k] for k in mat_keys]
+
+                def stage_key():
+                    return (
+                        tuple(sorted(((k, v) for k, v in self._caps.items()
+                                      if k in sub_ids), key=repr)),
+                        tuple((k, self._tree_bytes(mats[k]))
+                              for k in mat_keys),
+                        tuple(sv.holder[0]
+                              for sv, _ in self.scalar_subqueries))
+
+                cached = self._staged_compiled.get(stage_idx)
+                if cached is not None and cached[0] == stage_key():
+                    compiled = cached[1]
+                else:
+                    @fpartial(jax.shard_map, mesh=self.mesh,
+                              in_specs=(P(axis), P(axis), P(axis)),
+                              out_specs=(P(axis), P(axis), P(), P(axis)))
+                    def step(leaf_cols, leaf_rows, mat_list, _caps=caps,
+                             _node=node, _keys=tuple(mat_keys)):
+                        tables = {l: local_table(schemas[l], c, r)
+                                  for l, c, r in zip(labels, leaf_cols,
+                                                     leaf_rows)}
+                        ctx = ExecContext(_caps)
+                        ctx.local_sort_ids = local_ids if is_root else \
+                            frozenset()
+                        ctx.materialized = {
+                            k: local_table(mat_schemas[k], mc, mr)
+                            for k, (mc, mr) in zip(_keys, mat_list)}
+                        out = execute_dist(_node, tables, ctx, axis)
+                        totals = jnp.stack(
+                            [jnp.asarray(ctx.join_totals.get(k, 0),
+                                         jnp.int32) for k in keys]) \
+                            if keys else jnp.zeros((0,), jnp.int32)
+                        balance = jnp.stack(
+                            [jnp.asarray(ctx.join_balance.get(k, 0),
+                                         jnp.int32) for k in jids])[None, :] \
+                            if jids else jnp.zeros((1, 0), jnp.int32)
+                        ocols, onum = unlocal_table(out)
+                        return ocols, onum, totals, balance
+
+                    t0 = time.time()
+                    reset_comm_bytes()
+                    compiled = jax.jit(step).lower(
+                        leaf_cols, leaf_rows, mat_list).compile()
+                    total_comm += get_comm_bytes()
+                    self._caps.update(caps)
+                    self.metrics.compile_count += 1
+                    self.metrics.compile_time_s += time.time() - t0
+                    self._staged_compiled[stage_idx] = (stage_key(), compiled)
+                t0 = time.time()
+                ocols, onum, totals, balance = compiled(
+                    leaf_cols, leaf_rows, mat_list)
+                if multiproc:
+                    from ..parallel.multihost import allgather_tree
+                    balance = allgather_tree(balance)
+                totals = [int(t) for t in totals]
+                self.metrics.run_time_s += time.time() - t0
+                import numpy as np
+                b = np.asarray(balance)        # [P, n_joins]
+                for i, jid in enumerate(jids):
+                    self.metrics.balance[jid] = [int(x) for x in b[:, i]]
+                if not self._check_overflow(keys, totals):
+                    break
+                self.metrics.retries += 1
+                self._staged_compiled.pop(stage_idx, None)
+
+            # per-device memory model: leaf shards + materialized inputs +
+            # this stage's output, all exact from static shapes (VERDICT
+            # round-2 item 4: assert each stage fits a v5e share)
+            Pn = self.mesh.devices.size
+            self.metrics.stage_bytes.append({
+                "stage": stage_idx,
+                "node": node.describe(),
+                "leaf_bytes_per_device":
+                    (self._tree_bytes(leaf_cols)
+                     + self._tree_bytes(leaf_rows)) // Pn,
+                "mat_bytes_per_device": self._tree_bytes(mat_list) // Pn,
+                "out_bytes_per_device":
+                    (self._tree_bytes(ocols)
+                     + self._tree_bytes(onum)) // Pn,
+            })
+            if materialize:
+                mats[node.join_id] = (ocols, onum)
+                mat_schemas[node.join_id] = node.schema
+        self.metrics.comm_bytes = total_comm
+        if multiproc:
+            from ..parallel.multihost import allgather_tree
+            ocols = allgather_tree(ocols)
+            onum = allgather_tree(onum)
+        return self._finish(ocols, onum, root_sort)

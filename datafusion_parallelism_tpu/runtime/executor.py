@@ -36,6 +36,13 @@ class ExecutorMetrics:
         self.retries = 0
         self.join_caps: Dict[int, int] = {}
         self.streamed_chunks = 0
+        # distributed scaling proxies (no multi-chip hardware attached):
+        # collective bytes received per device per step (exact, from static
+        # shapes at trace time), per-join per-device candidate totals, and
+        # the per-stage per-device memory model of staged execution
+        self.comm_bytes = 0
+        self.balance: Dict[int, list] = {}
+        self.stage_bytes: list = []
 
 
 def _maybe_dump_hlo(lowered, tag: str):

@@ -15,6 +15,10 @@ from .columnar import DeviceTable, HostTable, round_capacity
 class Statistics:
     row_count: int
     distinct: Dict[str, int] = field(default_factory=dict)
+    # most-common-value share per column (0..1); registrations may supply it,
+    # otherwise it is computed lazily from the data (mcv_share_of). Drives
+    # the automatic skew-salting decision (optimizer.ChooseDistModeRule).
+    mcv_share: Dict[str, float] = field(default_factory=dict)
 
 
 class RegisteredTable:
@@ -54,6 +58,28 @@ class RegisteredTable:
                 mask = valid if mask is None else (mask & valid)
             d = max(int(np.unique(h[mask]).size), 1)
             self.statistics.distinct[key] = d
+        return d
+
+    def mcv_share_of(self, col: str) -> float:
+        """Share (0..1) of the most common valid value of `col` — the cheap
+        histogram behind automatic skew salting (the reference mitigates the
+        same skew dynamically with work stealing,
+        work_stealing_repartition_exec.rs:50-115; TPUs cannot steal, so the
+        planner decides statically from this statistic). Computed once, on a
+        bounded prefix sample for very large tables."""
+        d = self.statistics.mcv_share.get(col)
+        if d is None:
+            import numpy as np
+            vals, valid = self.host.columns[col]
+            n = len(vals)
+            lim = min(n, 1 << 22)   # bounded sample: O(n log n) unique
+            v = np.asarray(vals[:lim])[np.asarray(valid[:lim])]
+            if v.size == 0:
+                d = 0.0
+            else:
+                _, counts = np.unique(v, return_counts=True)
+                d = float(counts.max()) / float(v.size)
+            self.statistics.mcv_share[col] = d
         return d
 
     def range_of(self, col: str):

@@ -159,3 +159,133 @@ def test_distributed_skew_salted_sql():
         expect = sum(k2 * 10 * v for v, k2 in enumerate(skewed) if k2 < 32)
         assert got[0]["n"] == sum(1 for k in skewed if k < 32)
         assert got[0]["s"] == expect
+
+
+def test_root_order_by_local_sort_no_collectives():
+    """ORDER BY without LIMIT: shards sort locally and the host merge
+    restores the total order at collection — NO collective moves the result
+    (the old path all-gathered the full table to every device; VERDICT
+    round-2 item 9). Asserted two ways: comm_bytes == 0 and no all-gather /
+    all-to-all in the compiled HLO."""
+    rng = np.random.default_rng(13)
+    n = 3000
+    data = {"a": [int(x) for x in rng.integers(0, 500, n)],
+            "b": [round(float(x), 6) for x in rng.random(n)]}
+    ctx = dfp.SessionContext(SessionConfig(target_partitions=N_DEV))
+    ctx.register_pydict("t", data)
+    h = ctx.sql("SELECT a, b FROM t ORDER BY a, b DESC")
+    got = h.collect().to_pylist()
+    expected = sorted(({"a": a, "b": b} for a, b in zip(data["a"], data["b"])),
+                      key=lambda r: (r["a"], -r["b"]))
+    assert got == expected      # exact global ORDER, not just the multiset
+    assert h.metrics.comm_bytes == 0, h.metrics.comm_bytes
+    hlo = h._compiled.as_text()
+    assert "all-gather" not in hlo and "all-to-all" not in hlo
+
+
+def _ctx3(partitions, staged=None):
+    rng = np.random.default_rng(5)
+    n_ord, n_cust = 400, 60
+    cfg = SessionConfig(target_partitions=partitions,
+                        distributed_staged=staged, broadcast_threshold=0)
+    ctx = dfp.SessionContext(cfg)
+    ctx.register_pydict("orders", {
+        "o_id": list(range(n_ord)),
+        "o_cust": [int(x) for x in rng.integers(0, 80, n_ord)],
+        "amount": [round(float(x), 2) for x in rng.random(n_ord) * 100],
+    })
+    ctx.register_pydict("custs", {
+        "c_id": list(range(n_cust)),
+        "c_name": [f"c{i:03d}" for i in range(n_cust)],
+        "c_grp": [int(x) for x in rng.integers(0, 5, n_cust)],
+    })
+    ctx.register_pydict("grps", {
+        "g_id": list(range(5)),
+        "g_name": [f"g{i}" for i in range(5)],
+    })
+    return ctx
+
+
+STAGED_Q = ("SELECT g.g_name, COUNT(*) AS n, SUM(o.amount) AS s "
+            "FROM grps g JOIN custs c ON g.g_id = c.c_grp "
+            "JOIN orders o ON c.c_id = o.o_cust "
+            "GROUP BY g.g_name ORDER BY g.g_name")
+
+
+def test_distributed_staged_matches_whole_plan():
+    """Staged distributed execution (per-join shard_map programs with
+    materialized sharded boundaries) returns the same rows as the whole-plan
+    program, records the per-stage per-device memory model, and caches its
+    compiled stages across collect() calls (VERDICT round-2 item 4)."""
+    whole = _ctx3(N_DEV, staged=False).sql(STAGED_Q).collect().to_pylist()
+    hs = _ctx3(N_DEV, staged=True).sql(STAGED_Q)
+    staged = hs.collect().to_pylist()
+    assert_rows_equal(staged, whole)
+    # one stage per non-root join + the root stage
+    assert len(hs.metrics.stage_bytes) >= 2, hs.metrics.stage_bytes
+    for sb in hs.metrics.stage_bytes:
+        per_dev = (sb["leaf_bytes_per_device"] + sb["mat_bytes_per_device"]
+                   + sb["out_bytes_per_device"])
+        assert per_dev > 0
+        assert per_dev < 15.75e9, sb   # each stage fits a v5e
+    # scaling proxies recorded
+    assert hs.metrics.comm_bytes > 0
+    assert hs.metrics.balance and all(len(v) == N_DEV
+                                      for v in hs.metrics.balance.values())
+    compiles = hs.metrics.compile_count
+    again = hs.collect().to_pylist()
+    assert hs.metrics.compile_count == compiles, "staged collect recompiled"
+    assert_rows_equal(again, staged)
+
+
+def test_comm_bytes_and_balance_recorded_whole_plan():
+    ctx = _make_ctx(N_DEV)
+    h = ctx.sql(QUERIES[0])
+    h.collect()
+    assert h.metrics.comm_bytes > 0
+    assert h.metrics.balance and all(len(v) == N_DEV
+                                     for v in h.metrics.balance.values())
+
+
+def test_auto_skew_salting_from_statistics():
+    """With skew_salting unset (None = auto), the planner turns salting on
+    from the catalog's cheap mcv histogram when the probe side's hottest key
+    would overload one device — no config flag (VERDICT round-2 item 6)."""
+    from datafusion_parallelism_tpu.models.physical import PHashJoin
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    hot = rng.random(n) < 0.9
+    keys = np.where(hot, 0, rng.integers(0, 1024, n)).tolist()
+
+    def run(probe_keys):
+        cfg = SessionConfig(target_partitions=N_DEV, broadcast_threshold=0)
+        assert cfg.skew_salting is None
+        ctx = dfp.SessionContext(cfg)
+        ctx.register_pydict("probe", {"k": probe_keys,
+                                      "v": list(range(len(probe_keys)))})
+        ctx.register_pydict("build", {"k2": list(range(1024)),
+                                      "w": [i * 3 for i in range(1024)]})
+        h = ctx.sql("SELECT SUM(b.w * p.v) AS s, COUNT(*) AS c "
+                    "FROM build b JOIN probe p ON b.k2 = p.k")
+        mode = next(x.dist_mode for x in h.plan.walk()
+                    if isinstance(x, PHashJoin))
+        return mode, h.collect().to_pylist()
+
+    mode_hot, rows_hot = run(keys)
+    assert mode_hot == "skew_salted", mode_hot      # fired with no flag
+    uniform = [int(x) for x in rng.integers(0, 1024, n)]
+    mode_uni, _ = run(uniform)
+    assert mode_uni == "partitioned", mode_uni      # and stays off when flat
+
+    # same answer as the forced-partitioned run
+    cfg = SessionConfig(target_partitions=N_DEV, skew_salting=False,
+                        broadcast_threshold=0)
+    ctx = dfp.SessionContext(cfg)
+    ctx.register_pydict("probe", {"k": keys, "v": list(range(n))})
+    ctx.register_pydict("build", {"k2": list(range(1024)),
+                                  "w": [i * 3 for i in range(1024)]})
+    expected = ctx.sql("SELECT SUM(b.w * p.v) AS s, COUNT(*) AS c "
+                       "FROM build b JOIN probe p ON b.k2 = p.k"
+                       ).collect().to_pylist()
+    assert rows_hot == expected

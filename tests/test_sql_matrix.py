@@ -15,7 +15,10 @@ from datafusion_parallelism_tpu.utils.catalog import Statistics
 
 from oracle import assert_rows_equal, oracle_join
 
-STRATEGIES = [JoinStrategy.CSR, JoinStrategy.SORT]
+# all three user-selectable strategies run the full SQL matrix (the
+# reference's per-version e2e matrix, lib.rs:36-45); OA was previously only
+# covered at the raw hash_join level
+STRATEGIES = [JoinStrategy.CSR, JoinStrategy.SORT, JoinStrategy.OA]
 
 
 def make_ctx(strategy):
