@@ -180,6 +180,15 @@ def run(argv=None) -> dict:
             "compiles": m.compile_count, "compile_time_s": m.compile_time_s,
             "retries": m.retries, "join_caps": m.join_caps,
             "streamed_chunks": m.streamed_chunks}
+        if args.concurrency > 1:
+            # distributed scaling proxies (BASELINE's >=80% scaling target
+            # has no multi-chip hardware to measure on; collective bytes +
+            # per-device work balance are the quantities that determine it)
+            results["query_metrics"][q]["comm_bytes"] = m.comm_bytes
+            results["query_metrics"][q]["balance"] = \
+                {str(k): v for k, v in m.balance.items()}
+            if m.stage_bytes:
+                results["query_metrics"][q]["stage_bytes"] = m.stage_bytes
         # steady-state summary: iteration 0 pays compiles/uploads and is
         # NEVER reported as the query time (reference methodology runs 100
         # iterations, tpc/scripts/_run_benchmark.sh:74; median-of-warm is
