@@ -57,6 +57,9 @@ N = 1 << 22          # 4,194,304 rows — matches the Size512 headline scenario
 ITERS = 10
 
 
+ROUNDS = 3
+
+
 def timeit(fn, *args, iters=None):
     """Median wall time of a jitted block with honest scalar-fetch sync."""
     iters = ITERS if iters is None else iters
@@ -73,34 +76,92 @@ def timeit(fn, *args, iters=None):
     return float(np.median(ts))
 
 
-def measure_primitives(rng):
-    """Per-index / per-element costs measured on this chip, this session."""
+class Interleaved:
+    """Drift-robust measurement: the device's throughput wanders 10-40%
+    between programs and minutes (documented in CLAUDE.md; observed: the
+    same W=14 gather measuring 92 / 122 / 166 ms across three sessions in
+    one hour). Timing every item in ROUNDS interleaved passes inside ONE
+    process and keeping each item's MINIMUM round-median makes primitives
+    and operators comparable — both get their best window, so their RATIO
+    is stable even when absolute throughput is not."""
+
+    def __init__(self):
+        self.items = []            # (name, fn, args)
+
+    def add(self, name, fn, *args):
+        self.items.append((name, fn, args))
+
+    def run(self):
+        best = {}
+        for _ in range(ROUNDS):
+            for name, fn, args in self.items:
+                t = timeit(fn, *args)
+                best[name] = min(best.get(name, t), t)
+        return best
+
+
+def register_primitives(il: "Interleaved", rng):
+    """Per-index / per-element costs measured on this chip, this session.
+
+    Width matters in steps, not linearly (measured on v5e): W=1 gathers
+    cost ~6.7 ns/idx, W=2-4 narrow rows ~3.4-5.3, a cliff to ~14 at W=5-8,
+    ~22 at W=13-15. int64 cells gather at ~15 ns/idx (emulated as split
+    planes) — which is why the engine packs 64-bit values as int32 row
+    PAIRS everywhere. The primitives below anchor the operator models:
+      gather   W=1 int32 (per index)
+      gather4  W=4 int32 rows (the narrow regime: replication fills,
+               candidate key fetches, sorted-aggregate row fetches)
+      gather2big  [2, 4N] int32 rows at N indices (the CSR bucket
+               descriptor fetch — bigger tables gather slightly slower)
+      rowgather13  W=13 packed rows (full-width materialization)
+      scatter  narrow int32 scatter-add
+      sort     stable int32 argsort (radix; int64 keys are 10x slower)
+      cumsum   int64 prefix sum (the segmented-reduction stream pass)
+    """
     idx = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
     vals = jnp.asarray(rng.random(N).astype(np.float32))
     ivals = jnp.asarray(rng.integers(0, 1 << 30, N).astype(np.int32))
     packed13 = jnp.asarray(rng.integers(0, 1 << 30, (13, N)).astype(np.int32))
+    packed4 = packed13[:4]
+    big2 = jnp.asarray(rng.integers(0, 1 << 30, (2, 4 * N)).astype(np.int32))
+    bigidx = jnp.asarray(rng.integers(0, 4 * N, N).astype(np.int32))
 
-    null = timeit(jax.jit(lambda v: jnp.sum(v)), vals)  # launch+sync floor
-
-    g1 = timeit(jax.jit(lambda v, i: jnp.sum(jnp.take(v, i, mode="clip"))),
-                ivals, idx)
-    rg13 = timeit(jax.jit(
+    il.add("launch", jax.jit(lambda v: jnp.sum(v)), vals)  # launch floor
+    il.add("g1", jax.jit(lambda v, i: jnp.sum(jnp.take(v, i, mode="clip"))),
+           ivals, idx)
+    il.add("g4", jax.jit(
+        lambda p, i: jnp.sum(jnp.take(p, i, axis=1, mode="clip"))),
+        packed4, idx)
+    il.add("g2b", jax.jit(
+        lambda p, i: jnp.sum(jnp.take(p, i, axis=1, mode="clip"))),
+        big2, bigidx)
+    il.add("rg13", jax.jit(
         lambda p, i: jnp.sum(jnp.take(p, i, axis=1, mode="clip"))),
         packed13, idx)
-    sc = timeit(jax.jit(
+    il.add("sc", jax.jit(
         lambda i: jnp.sum(jnp.zeros((N,), jnp.int32).at[i].add(1))), idx)
     # force FULL materialization of the permutation: argsort feeding only a
-    # [-1] slice gets rewritten by XLA to a cheap reduction (measured 2-5 ms
-    # "sorts" at 4M; the honest cost is ~30 ms, dtype-independent)
+    # [-1] slice gets rewritten by XLA to a cheap reduction; sum(perm*iota)
+    # needs every element. (int32 radix argsort is genuinely ~4 ms at 4M —
+    # aggregate.py measured ~2 ms int32 vs 42 ms int64 independently.)
     iota = jnp.arange(N, dtype=jnp.int64)
-    srt = timeit(jax.jit(lambda v: jnp.sum(
+    il.add("srt", jax.jit(lambda v: jnp.sum(
         jnp.argsort(v, stable=True).astype(jnp.int64) * iota)), ivals)
+    v64 = jnp.asarray(rng.integers(0, 1000, N).astype(np.int64))
+    il.add("cs", jax.jit(lambda v: jnp.sum(jnp.cumsum(v) * iota)), v64)
+
+
+def finish_primitives(best) -> dict:
+    null = best["launch"]
     return {
         "launch_s": null,
-        "gather_ns": max(g1 - null, 1e-9) / N * 1e9,
-        "rowgather13_ns": max(rg13 - null, 1e-9) / N * 1e9,
-        "scatter_ns": max(sc - null, 1e-9) / N * 1e9,
-        "sort4M_s": max(srt - null, 1e-9),
+        "gather_ns": max(best["g1"] - null, 1e-9) / N * 1e9,
+        "gather4_ns": max(best["g4"] - null, 1e-9) / N * 1e9,
+        "gather2big_ns": max(best["g2b"] - null, 1e-9) / N * 1e9,
+        "rowgather13_ns": max(best["rg13"] - null, 1e-9) / N * 1e9,
+        "scatter_ns": max(best["sc"] - null, 1e-9) / N * 1e9,
+        "sort4M_s": max(best["srt"] - null, 1e-9),
+        "cumsum4M_s": max(best["cs"] - null, 1e-9),
     }
 
 
@@ -114,12 +175,8 @@ def main():
     N, ITERS = args.rows, args.iters
 
     rng = np.random.default_rng(0)
-    prim = measure_primitives(rng)
-    launch = prim["launch_s"]
-    g = prim["gather_ns"] * 1e-9
-    rg = prim["rowgather13_ns"] * 1e-9   # W=13 row; narrow rows cost ~gather
-    sc = prim["scatter_ns"] * 1e-9
-    srt = prim["sort4M_s"]
+    il = Interleaved()
+    register_primitives(il, rng)
 
     bk = rng.integers(0, N, N).astype(np.int32)
     pk = rng.integers(0, N, N).astype(np.int32)
@@ -130,16 +187,9 @@ def main():
                                   "p_val": rng.random(N).astype(np.float32)
                                   }).to_device()
     out_cap = N + N // 2
+    c = out_cap
 
-    rows = []
-
-    def report(name, measured, model):
-        measured = max(measured - launch, 1e-9)   # exclude fixed launch cost
-        rows.append({"op": name, "measured_ms": measured * 1e3,
-                     "roofline_ms": model * 1e3,
-                     "ratio": measured / model})
-
-    # --- build_csr: scatter(n) + sort(n) --------------------------------
+    # --- build_csr -------------------------------------------------------
     bh = jnp.asarray(rng.integers(0, 1 << 31, N).astype(np.uint32))
     ones = jnp.ones((N,), jnp.bool_)
 
@@ -148,7 +198,7 @@ def main():
         t = ht.build_csr(h, ones, N)
         return t.perm[-1] + t.offsets[-1]
 
-    report("build_csr", timeit(f_build, bh), sc * N + srt)
+    il.add("build_csr", f_build, bh)
 
     # --- probe + candidate expansion + key recheck ----------------------
     table = jax.jit(lambda h: ht.build_csr(h, ones, N))(bh)
@@ -167,12 +217,7 @@ def main():
         build_idx = jnp.take(t.perm, rep[0] + j, mode="clip")
         return cr.total + jnp.sum(jnp.where(j < cr.total, build_idx, 0))
 
-    c = out_cap
-    # model: descriptor gather(N) + segment-start scatter(N) + the expansion
-    # pair — fill-ids row-gather(c) + row fetch(c) (irreducible: expansion
-    # must materialize positions, then fetch through them)
-    report("probe_expand", timeit(f_probe, table, ph),
-           g * N + sc * N + 2 * g * c)
+    il.add("probe_expand", f_probe, table, ph)
 
     # --- full inner join (13-col build side, 2-col probe side) ----------
     @jax.jit
@@ -182,13 +227,7 @@ def main():
         v, valid = out.column("c0")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0)), total
 
-    # model (deferred-materialization path, ops/join.py): build(scatter+sort)
-    # + descriptor gather(N) + replicate(scatter(N) + fill gather(c)) + narrow
-    # key/id gathers both sides (2c) + match compaction (argsort(c) + index
-    # gather(c)) + final full-row fetches (rowgather13(c) + narrow(c))
-    join_model = (sc * N + srt) + g * N + (sc * N + g * c) + 2 * g * c \
-        + (srt * c / N + g * c) + (rg * c + g * c)
-    report("inner_join_13col", timeit(f_join, build, probe), join_model)
+    il.add("inner_join_13col", f_join, build, probe)
 
     # --- filter (50% selectivity) + compaction --------------------------
     @jax.jit
@@ -199,10 +238,7 @@ def main():
         v, valid = out.column("c1")
         return jnp.sum(jnp.where(valid, v, 0)), out.num_rows
 
-    # model: compaction_indices = stable argsort of the mask (survivors
-    # first); gather_table pays one packed row-gather through it — the floor
-    # is argsort(n) + rowgather13(n)
-    report("filter_compact", timeit(f_filter, build), srt + rg * N)
+    il.add("filter_compact", f_filter, build)
 
     # --- hash aggregate (1 key, 2 aggs, 64k groups) ---------------------
     gk = rng.integers(0, 1 << 16, N).astype(np.int32)
@@ -218,9 +254,7 @@ def main():
         v, valid = out.column("sx")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0)), count
 
-    # model: sort(n) + the sorted-row fetch (~2 narrow-gather equivalents at
-    # this width) + the boundary-position compaction (argsort(n))
-    report("hash_aggregate", timeit(f_agg, at), 2 * srt + 2 * g * N)
+    il.add("hash_aggregate", f_agg, at)
 
     # --- sort (1 key, full table materialization) -----------------------
     @jax.jit
@@ -229,12 +263,66 @@ def main():
         v, valid = out.column("c0")
         return jnp.sum(jnp.where(valid & out.row_mask(), v, 0))
 
-    report("sort_table_13col", timeit(f_sort, build), srt + rg * N)
+    il.add("sort_table_13col", f_sort, build)
+
+    # ---- interleaved measurement, then models from the same-run
+    # primitives (see Interleaved: min-of-rounds neutralizes the device's
+    # 10-40% between-program throughput drift)
+    best = il.run()
+    prim = finish_primitives(best)
+    launch = prim["launch_s"]
+    g = prim["gather_ns"] * 1e-9
+    g4 = prim["gather4_ns"] * 1e-9       # narrow multi-row regime (W<=4)
+    g2b = prim["gather2big_ns"] * 1e-9   # bucket-descriptor fetch
+    rg = prim["rowgather13_ns"] * 1e-9   # full-width packed rows
+    sc = prim["scatter_ns"] * 1e-9
+    srt = prim["sort4M_s"]
+    cs = prim["cumsum4M_s"]
+
+    rows = []
+
+    def report(name, model):
+        measured = max(best[name] - launch, 1e-9)  # exclude fixed launch
+        rows.append({"op": name, "measured_ms": measured * 1e3,
+                     "roofline_ms": model * 1e3,
+                     "ratio": measured / model})
+
+    # build_csr: bucket-count scatter(n) + bucket-order sort(n)
+    report("build_csr", sc * N + srt)
+    # probe_expand: descriptor 2-row gather(N) + count cumsum + segment-
+    # start scatter(N) + the expansion pair — fill-ids row-gather(c) + row
+    # fetch(c) (irreducible: expansion must materialize positions, then
+    # fetch through them)
+    report("probe_expand", g2b * N + cs + sc * N + 2 * g * c)
+    # inner join (deferred-materialization path, ops/join.py):
+    # build(scatter+sort) + bucket-descriptor 2-row gather(N) + narrow
+    # key+id permute into bucket order (W<=4 rows, N) + replicate
+    # (scatter(N) + fill gather(c) carrying the probe keys) + candidate
+    # key+id fetch at pos (narrow, c) + match compaction (argsort(c) +
+    # compacted-id pair gather(c)) + final full-row fetches (build
+    # rowgather13(c) + probe narrow(c))
+    report("inner_join_13col",
+           (sc * N + srt) + g2b * N + g4 * N
+           + (sc * N + g4 * c) + g4 * c
+           + (srt * c / N + g4 * c) + (rg * c + g4 * c))
+    # filter: compaction_indices = stable argsort of the mask (survivors
+    # first); one packed row-gather through it — argsort(n) + rowgather13(n)
+    report("filter_compact", srt + rg * N)
+    # aggregate: grouping sort(n) + the sorted-row fetch (W=4 packed row:
+    # 3 value slots + validity word — the hash does NOT ride the gather,
+    # boundary detection compares values) + boundary-position compaction
+    # (argsort(n)) + the segmented-sum prefix passes (2 aggs + count)
+    report("hash_aggregate", 2 * srt + g4 * N + 3 * cs)
+    # sort: one multi-key sort + full-width row materialization
+    report("sort_table_13col", srt + rg * N)
 
     print(f"primitives: launch {launch*1e3:.1f} ms, gather "
-          f"{prim['gather_ns']:.1f} ns/idx, rowgather13 "
+          f"{prim['gather_ns']:.1f} ns/idx, gather4 "
+          f"{prim['gather4_ns']:.1f}, gather2big "
+          f"{prim['gather2big_ns']:.1f}, rowgather13 "
           f"{prim['rowgather13_ns']:.1f} ns/row, scatter "
-          f"{prim['scatter_ns']:.1f} ns/idx, argsort4M {srt*1e3:.1f} ms")
+          f"{prim['scatter_ns']:.1f} ns/idx, argsort4M {srt*1e3:.1f} ms, "
+          f"cumsum4M {cs*1e3:.2f} ms")
     print(f"{'op':20s} {'measured':>10s} {'roofline':>10s} {'ratio':>7s}")
     for r in rows:
         print(f"{r['op']:20s} {r['measured_ms']:9.1f}m {r['roofline_ms']:9.1f}m"

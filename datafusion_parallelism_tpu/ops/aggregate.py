@@ -197,6 +197,50 @@ def _direct_aggregate(t: DeviceTable, group_keys: List[str],
     return DeviceTable(out_schema, cols, kept), n_groups
 
 
+def _exact_key_operands(t: DeviceTable, group_keys: List[str]):
+    """Extra lax.sort operands that make the grouping sort exact under
+    32-bit hash collisions, or [] when the hash is INJECTIVE on the key
+    domain: for a single int32-word column (int32/date32/dictionary
+    code/bool), fmix32 is a bijection on uint32 and combine(SEED, .) is a
+    bijection in its second argument, so distinct keys cannot collide and
+    the hash alone is a perfect sort key.
+
+    For everything else (multi-column keys, int64/decimal, floats) the
+    operands are the key's canonicalized value words plus ONE validity word
+    over the key columns: rows equal in (hash, words, validity) are exactly
+    the rows of one SQL group (NULLs grouped together; -0.0 == 0.0
+    canonicalized like the hash does)."""
+    if len(group_keys) == 1:
+        kind = t.schema.field(group_keys[0]).dtype.kind
+        if kind in (Kind.INT32, Kind.DATE32, Kind.STRING, Kind.BOOL):
+            return []
+    cap = t.capacity
+    ops = []
+    kv_word = jnp.zeros((cap,), jnp.uint32)
+    for i, k in enumerate(group_keys):
+        v, valid = t.column(k)
+        kind = t.schema.field(k).dtype.kind
+        if kind is Kind.FLOAT32:
+            words = [jnp.where(v == 0, jnp.float32(0), v).view(jnp.int32)]
+        elif kind is Kind.FLOAT64:
+            bits = jnp.where(v == 0, jnp.float64(0), v).view(jnp.int64)
+            words = [(bits & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+                     .view(jnp.int32), (bits >> jnp.int64(32))
+                     .astype(jnp.int32)]
+        elif kind in (Kind.INT64, Kind.DECIMAL):
+            words = [(v & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+                     .view(jnp.int32), (v >> jnp.int64(32))
+                     .astype(jnp.int32)]
+        elif kind is Kind.BOOL:
+            words = [v.astype(jnp.int32)]
+        else:
+            words = [v.astype(jnp.int32)]
+        ops += [jnp.where(valid, w, 0) for w in words]
+        kv_word = kv_word | (valid.astype(jnp.uint32) << jnp.uint32(i % 32))
+    ops.append(kv_word.view(jnp.int32))
+    return ops
+
+
 def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
                            aggs: List[AggSpec],
                            out_cap: Optional[int] = None,
@@ -235,7 +279,21 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     biased = jax.lax.bitcast_convert_type(h ^ jnp.uint32(0x80000000),
                                           jnp.int32)
     sort_key = jnp.where(in_row, biased, jnp.int32(0x7FFFFFFF))
-    perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+    extra = _exact_key_operands(t, group_keys)
+    if extra:
+        # EXACTNESS under 32-bit hash collisions: two distinct keys with the
+        # same hash can INTERLEAVE inside the equal-hash run of a stable
+        # hash-only sort, and adjacent value-comparison then splits each key
+        # into multiple output groups (observed: 5 groups from 2 interleaved
+        # colliding keys). Sub-sorting the run by the key words + key
+        # validity makes equal keys contiguous, which is all the boundary
+        # test needs. Skipped when the hash is injective on the key domain.
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        res = jax.lax.sort(tuple([sort_key] + extra + [iota]), dimension=0,
+                           is_stable=True, num_keys=1 + len(extra))
+        perm = res[-1]
+    else:
+        perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
     # padding sorts past every valid row, so sorted validity is a PREFIX
     # mask — no gather of in_row through perm needed
     n_valid = jnp.sum(in_row, dtype=jnp.int32)
@@ -243,25 +301,21 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
 
     # materialize the table in sorted order with ONE packed row-gather; all
     # per-column reads below are then elementwise/shift ops, not gathers.
-    # The row hash rides the same gather as a sidecar word (gathers cost per
-    # index, not per byte) instead of a second cap-index gather.
+    # The row hash does NOT ride the gather: boundary detection compares the
+    # actual key VALUES below, which subsumes any hash comparison (equal
+    # values => equal hashes; unequal values open a boundary regardless of
+    # hash) — and the sidecar word widened the row past the measured W=4->6
+    # per-index gather cliff (5.3 -> 14 ns/idx on v5e).
     from ..utils.columnar import PackedTable, pack_table, unpack_table
     pt = pack_table(t)
-    aug = PackedTable(
-        jnp.concatenate([pt.packed,
-                         h.astype(jnp.uint32).view(jnp.int32)[None, :]],
-                        axis=0), pt.f64s, pt.layout)
-    g_ = aug.take_rows(perm)
-    hs = g_.packed[-1]          # int32 view; bit-pattern equality suffices
-    st = unpack_table(PackedTable(g_.packed[:-1], g_.f64s, pt.layout),
-                      t.schema, t.num_rows)
+    g_ = pt.take_rows(perm)
+    st = unpack_table(g_, t.schema, t.num_rows)
 
     def shift1(a):  # a[i-1] with a[-1] := a[0]
         return jnp.concatenate([a[:1], a[:-1]])
 
     # group boundary: first row, or any group-key column differs from previous
     boundary = jnp.zeros((cap,), jnp.bool_).at[0].set(True)
-    boundary = boundary | (hs != shift1(hs))
     for k in group_keys:
         cv, cvalid = st.column(k)
         pv, pvalid = shift1(cv), shift1(cvalid)
@@ -289,8 +343,7 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
     # kept gather junk; their validity is masked by `ok` below and the key
     # validity words of junk rows are whatever row 0 holds — acceptable
     # because every consumer masks with row_mask()/num_rows.
-    spt = PackedTable(g_.packed[:-1], g_.f64s, pt.layout)
-    bt = spt.take_rows(bpos[:out_cap])
+    bt = g_.take_rows(bpos[:out_cap])
     rep = unpack_table(bt, t.schema, kept)
     for k in group_keys:
         v, valid = rep.columns[k]

@@ -46,14 +46,18 @@ class JoinStrategy(enum.Enum):
 class JoinTable(NamedTuple):
     """Frozen build-side lookup structure (a pytree).
 
-    kind_csr:  start_count[T+1] packs (bucket start << 32 | count) into perm
-               order — the probe fetches both halves of a bucket descriptor
-               in ONE gather (gathers on TPU cost per index, not per byte).
+    kind_csr:  start_count[2, T+1] int32 rows (bucket starts; bucket counts)
+               — the probe fetches both halves of a bucket descriptor in ONE
+               2-row minor-axis gather. int32 pair rows, NOT packed int64:
+               an int64 gather measures 15.1 ns/idx on v5e vs 9.1 for the
+               [2, T] int32 row gather at the same table size (int64 cells
+               are emulated as split planes and gather pays per plane).
                Bucket T holds rows with null keys / padding so valid buckets
                never see them. offsets[T+2] kept for inspection/benches.
                Hash equality is NOT rechecked at probe time: the join
                re-checks keys by VALUE anyway (hash_join's equal_rows_arr
                analog), so bucket-collision candidates just fail there.
+               DFP_DESC_I64=1 restores the packed-int64 descriptor (A/B).
     kind_sort: sorted_hash[cap] + perm; offsets is unused (size 1).
     kind_oa:   open addressing — sorted_hash[S] holds per-slot packed
                (key-hash-as-int32 << 32 | row_id + 1), 0 = empty slot;
@@ -64,7 +68,8 @@ class JoinTable(NamedTuple):
     offsets: jnp.ndarray      # int32; size-1 dummy under SORT, size-2 under OA
     perm: jnp.ndarray         # int32[cap|S] row ids in bucket/sorted/slot order
     sorted_hash: jnp.ndarray  # int64 sorted keys (SORT) / slots (OA) / dummy
-    start_count: jnp.ndarray  # int64[T+1] (CSR) or size-1 dummy
+    start_count: jnp.ndarray  # int32[2, T+1] (CSR; int64[T+1] under
+    #                           DFP_DESC_I64) or size-1 dummy
 
     @property
     def is_sort(self) -> bool:
@@ -83,6 +88,7 @@ def table_size_for(capacity: int) -> int:
 
 
 def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
+    import os
     cap = hashes.shape[0]
     T = table_size_for(cap)
     in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
@@ -92,8 +98,11 @@ def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTabl
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts, dtype=jnp.int32)])
     perm = jnp.argsort(slot, stable=True).astype(jnp.int32)
-    start_count = ((offsets[:-1].astype(jnp.int64) << jnp.int64(32))
-                   | counts.astype(jnp.uint32).astype(jnp.int64))
+    if os.environ.get("DFP_DESC_I64"):
+        start_count = ((offsets[:-1].astype(jnp.int64) << jnp.int64(32))
+                       | counts.astype(jnp.uint32).astype(jnp.int64))
+    else:
+        start_count = jnp.stack([offsets[:-1], counts])
     return JoinTable(offsets, perm, jnp.zeros((1,), jnp.int64), start_count)
 
 
@@ -235,9 +244,18 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
     else:
         T = table.offsets.shape[0] - 2
         slot = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
-        sc = jnp.take(table.start_count, slot, mode="clip")
-        start = (sc >> jnp.int64(32)).astype(jnp.int32)
-        count = jnp.bitwise_and(sc, jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        if table.start_count.ndim == 2:
+            # ONE 2-row minor-axis gather (9.1 ns/idx vs 15.1 for int64);
+            # via take_rows for its >2M-index HBM-temp chunking
+            from ..utils.columnar import PackedTable
+            sc = PackedTable(table.start_count, {}, None).take_rows(slot) \
+                .packed
+            start, count = sc[0], sc[1]
+        else:  # DFP_DESC_I64 packed-int64 descriptor (A/B)
+            sc = jnp.take(table.start_count, slot, mode="clip")
+            start = (sc >> jnp.int64(32)).astype(jnp.int32)
+            count = jnp.bitwise_and(sc,
+                                    jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
     count = jnp.where(ok, count, 0)
     return start, count
 

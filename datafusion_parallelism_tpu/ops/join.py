@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from ..utils.columnar import (DeviceTable, Kind, PackedTable, Schema,
                               compaction_indices, hstack_tables,
                               null_columns_like, concat_tables, pack_table,
-                              unpack_table, replicate_rows_exact,
-                              compact_rows, filter_rows as _filter_rows)
+                              packed_layout, unpack_table,
+                              replicate_rows_exact, compact_rows,
+                              filter_rows as _filter_rows)
 from typing import NamedTuple
 
 from .hashing import hash_rows
@@ -238,34 +239,63 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     # Full rows are gathered ONCE, at the compacted match positions.
     # Expanded (late-materialized) joins and residual-filtered joins still
     # take the full-fetch path: their consumers read whole candidate rows.
-    if bperm is None:
-        bperm = _perm_rows(build, table)
     mcap = probe.capacity
     ppacked = pack_table(probe)
     j = jnp.arange(out_cap, dtype=jnp.int32)
 
     plan = None
+    playout = ppacked.layout
+    blayout = bperm.layout if bperm is not None else packed_layout(build.schema)
     if residual is None and not (expanded and join_type is JoinType.INNER):
-        plan = _defer_key_plan(bperm.layout, ppacked.layout,
-                               build_keys, probe_keys)
+        plan = _defer_key_plan(blayout, playout, build_keys, probe_keys)
 
+    bp_full = None
     if plan is not None:
         brows, prows, compares = plan
-        sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
-                             cr.start - cr.base], axis=0)
-        rep = replicate_rows_exact(sidecar, cr.base, cr.count, out_cap)
-        probe_idx = rep[0]
-        pos = rep[1] + j
-        cand = j < cr.total
-        # row-slice + stack, NOT fancy indexing: a gather along the major
+        import os
+        full_perm = bperm is not None or bool(os.environ.get(
+            "DFP_JOIN_FULL_PERM"))
+        # the probe KEY words (+ validity word) RIDE THE REPLICATION as extra
+        # sidecar rows: the replication's fill gather and the old separate
+        # probe-row fetch used IDENTICAL indices, so bundling them turns two
+        # out_cap-index gathers into one slightly wider one (W=2 -> 4 narrow
+        # rows cost 3.4 -> 5.3 ns/idx on v5e; a separate W=1 gather costs
+        # 6.7 ns/idx on its own).
+        # Row-slice + stack, NOT fancy indexing: a gather along the major
         # axis gets a W-minor output layout that the chunked take_rows loop
         # carry inherits — [7, 33.5M] W-minor tiles pad 18.3x = a 16 GB HLO
         # temp (SF10 Q7 OOM). Stacked slices keep the [W, cap] major layout.
-        id_row = bperm.packed.shape[0] - 1
-        bnarrow = jnp.stack([bperm.packed[r] for r in brows + [id_row]])
-        pnarrow = jnp.stack([ppacked.packed[r] for r in prows])
+        rep_src = jnp.stack([ppacked.packed[r] for r in prows]
+                            + [jnp.arange(mcap, dtype=jnp.int32),
+                               cr.start - cr.base])
+        rep = replicate_rows_exact(rep_src, cr.base, cr.count, out_cap)
+        pn = rep[:len(prows)]
+        probe_idx = rep[-2]
+        pos = rep[-1] + j
+        cand = j < cr.total
+        if full_perm:
+            # prepared build: the full-width perm-ordered rows already exist
+            # (hoisted out of the per-chunk program by streaming execution);
+            # slice the narrow key rows from them
+            if bperm is None:
+                bperm = _perm_rows(build, table)
+            id_row = bperm.packed.shape[0] - 1
+            bnarrow = jnp.stack([bperm.packed[r] for r in brows + [id_row]])
+        else:
+            # permute ONLY the key words + validity word + row id into
+            # bucket order — NOT the full packed table. The full-width perm
+            # gather costs 22 ns/idx (W=14) per build row and the deferred
+            # probe never reads the non-key words at candidate positions;
+            # the narrow W<=4 permute costs ~5 ns/idx, and pairs_table
+            # fetches full rows from the UNPERMUTED table at the compacted
+            # build ids instead.
+            bp_full = pack_table(build)
+            narrow_src = jnp.stack(
+                [bp_full.packed[r] for r in brows]
+                + [jnp.arange(build.capacity, dtype=jnp.int32)])
+            bnarrow = PackedTable(narrow_src, {},
+                                  None).take_rows(table.perm).packed
         bn = PackedTable(bnarrow, {}, None).take_rows(pos).packed
-        pn = PackedTable(pnarrow, {}, None).take_rows(probe_idx).packed
         cand_build_idx = bn[-1]
         # key recheck on packed words: bit equality == value equality for
         # the non-float same-width keys _defer_key_plan admits
@@ -281,6 +311,8 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         match = eq
         gbt = gpt = None
     else:
+        if bperm is None:
+            bperm = _perm_rows(build, table)
         sidecar = jnp.stack([jnp.arange(mcap, dtype=jnp.int32),
                              cr.start - cr.base], axis=0)
         rep = replicate_rows_exact(
@@ -348,18 +380,22 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
 
     def pairs_table() -> DeviceTable:
         if gbt is None:
-            # deferred path: compact the (pos, probe_idx) index pairs, then
-            # fetch full rows ONCE at the surviving positions. The index
+            # deferred path: compact the (build id, probe id) index pairs,
+            # then fetch full rows ONCE at the surviving positions. The index
             # gather goes through take_rows for its >2M-index CHUNKING — a
             # direct jnp.take at 33.5M indices wants a 17 GB HLO temp
             # (one tile row per index) and OOMs HBM.
             cidx, n_match = compaction_indices(match)
-            comp = PackedTable(jnp.stack([pos, probe_idx]), {},
+            bfirst = pos if bp_full is None else cand_build_idx
+            comp = PackedTable(jnp.stack([bfirst, probe_idx]), {},
                                None).take_rows(cidx).packed
             n = jnp.minimum(n_match, out_cap)
             ok = j < n
-            gb_full = PackedTable(bperm.packed[:-1], bperm.f64s,
-                                  bperm.layout).take_rows(comp[0])
+            if bp_full is None:   # perm-ordered full rows (prepared builds)
+                gb_full = PackedTable(bperm.packed[:-1], bperm.f64s,
+                                      bperm.layout).take_rows(comp[0])
+            else:                 # unpermuted table, fetched at build ids
+                gb_full = bp_full.take_rows(comp[0])
             gp_full = ppacked.take_rows(comp[1])
             bt = unpack_table(_zero_validity_past(gb_full, ok),
                               build.schema, n)

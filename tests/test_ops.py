@@ -191,3 +191,32 @@ def test_jit_pipeline_fusion():
         if i > 10:
             groups[i % 4] = groups.get(i % 4, 0) + i
     assert_rows_equal(rows, [{"k": k, "s": s} for k, s in groups.items()])
+
+
+def test_groupby_hash_collision_interleaved_exact():
+    """Two distinct composite keys whose 32-bit row hashes COLLIDE, with
+    their rows interleaved: a hash-only stable grouping sort leaves them
+    interleaved inside the equal-hash run and adjacent value-comparison
+    splits each key into multiple output groups (observed: 5 groups from 2
+    keys). The exact-grouping sub-sort (aggregate._exact_key_operands) must
+    keep each key's rows contiguous."""
+    import jax
+    import jax.numpy as jnp
+
+    from datafusion_parallelism_tpu.api import SessionContext
+    from datafusion_parallelism_tpu.ops.hashing import hash_rows
+
+    # (37513, 0) and (160754, 0) collide under the seeded hash; re-derive so
+    # the test self-repairs if the hash ever changes
+    ones2 = jnp.ones(2, dtype=bool)
+    a, b = 37513, 160754
+    h = jax.jit(lambda k1, k2: hash_rows([(k1, ones2), (k2, ones2)]))(
+        jnp.array([a, b], jnp.int32), jnp.zeros(2, jnp.int32))
+    assert int(h[0]) == int(h[1]), "expected colliding pair; hash changed"
+
+    ctx = SessionContext()
+    ctx.register_pydict("t", {"k1": [a, b, a, b, a], "k2": [0] * 5,
+                              "v": [1] * 5})
+    rows = ctx.sql("SELECT k1, SUM(v) AS s FROM t GROUP BY k1, k2 "
+                   "ORDER BY k1").collect().to_pylist()
+    assert rows == [{"k1": a, "s": 3}, {"k1": b, "s": 2}], rows
