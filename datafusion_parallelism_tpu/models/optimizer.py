@@ -80,7 +80,10 @@ class PruneColumnsRule:
             child_req = set(required)
             expr_columns(node.predicate, child_req)
             child = self._prune(node.child, child_req)
-            out = PFilter(child, node.predicate)
+            # carry est_rows: losing it silently demoted every optimized
+            # filter to the capacity//4 default (SF1 Q3's two range filters
+            # each paid an overflow-retry recompile from exactly this)
+            out = PFilter(child, node.predicate, est_rows=node.est_rows)
             out.node_id = node.node_id  # executor capacities key on this
             return self._project_to(out, required)
 
@@ -142,7 +145,10 @@ class CoalesceFiltersRule:
             combined = preds[0]
             for p in preds[1:]:
                 combined = BinOp("and", combined, p)
-            out = PFilter(child, combined)
+            # the OUTERMOST filter's estimate already multiplies every
+            # conjunct's selectivity (the planner updates rel.est_rows as it
+            # stacks filters), so it is the right estimate for the merge
+            out = PFilter(child, combined, est_rows=node.est_rows)
             out.node_id = node.node_id
             return out
         for attr in ("child", "build", "probe"):

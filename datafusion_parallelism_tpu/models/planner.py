@@ -357,14 +357,21 @@ def _plan_ndv(plan: PhysicalPlan, catalog: Catalog, qcols,
 
 def _join_candidates_est(build_plan, probe_plan, bk, pk, b_est, p_est,
                          catalog) -> float:
-    """Expected join candidate count |B⋈P| ≈ |B|·|P| / max(ndv_B, ndv_P) —
-    the same formula the join-ordering simulation uses, applied to EVERY
-    join so its initial output capacity comes from statistics instead of a
-    relative default (each avoided overflow retry is a full recompile,
-    minutes at SF10)."""
+    """Expected join candidate count: true matches
+    |B⋈P| ≈ |B|·|P| / max(ndv_B, ndv_P) (the join-ordering formula) PLUS
+    the CSR bucket false-hit floor. The capacity bounds CANDIDATES, and a
+    probe row with no true match still fetches its hash bucket's occupants:
+    E[false hits] = |P| · load where load = |B| / T and T = 4·capacity(B)
+    ≈ 4·round_capacity(|B|), i.e. |P|/8..|P|/4. Omitting this term is why
+    highly selective composite-key joins (SF1 Q2: est 1.6k true matches,
+    46k candidates) paid overflow-retry recompiles."""
+    from ..utils.columnar import round_capacity
     db = _plan_ndv(build_plan, catalog, bk, b_est)
     dp = _plan_ndv(probe_plan, catalog, pk, p_est)
-    return max(1.0, b_est * p_est / max(db, dp, 1.0))
+    true_matches = b_est * p_est / max(db, dp, 1.0)
+    bcap = round_capacity(int(max(b_est, 1.0)), minimum=128)
+    false_hits = p_est * b_est / max(4.0 * bcap, float(1 << 16))
+    return max(1.0, true_matches + false_hits)
 
 
 # ---------------------------------------------------------------------------
@@ -720,7 +727,12 @@ class Planner:
             current = self._make_join(current, r, cur_keys, new_keys,
                                       JoinType.INNER, None)
             current.est_rows = est_out
-            current.plan.est_rows = est_out  # seeds the initial capacity
+            # the capacity seed stays _make_join's CANDIDATE estimate (true
+            # matches + the CSR bucket false-hit floor); overwriting it with
+            # the simulation's match-only est_out undercounted candidates on
+            # selective probes (SF1 Q21's supplier⋈lineitem: 72k matches,
+            # 287k candidates — an overflow-retry recompile per run)
+            current.plan.est_rows = max(current.plan.est_rows, est_out)
             joined_labels.add(r.label)
         return current
 

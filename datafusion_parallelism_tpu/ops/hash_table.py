@@ -83,8 +83,13 @@ class JoinTable(NamedTuple):
 
 def table_size_for(capacity: int) -> int:
     # 4x load headroom: every probe-side op scales with the candidate count,
-    # and false bucket collisions add ~cap/4 candidates at 4x (vs cap/2 at 2x)
-    return max(4 * capacity, 128)
+    # and false bucket collisions add ~cap/4 candidates at 4x (vs cap/2 at
+    # 2x). FLOOR of 64k buckets: a tiny build probed by a huge side pays
+    # probe_rows * n_build / T false candidates — a 62-row build in T=4096
+    # turned a 6M-row probe into 91k false candidates (SF1 Q18) and
+    # ping-ponged the adaptive capacity; 64k buckets cost 512 KB and cap
+    # the false-hit rate at n_build/65536 per probe row.
+    return max(4 * capacity, 1 << 16)
 
 
 def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:

@@ -377,10 +377,10 @@ class DistributedQueryHandle(QueryHandle):
                 self._caps[k] = fit
                 overflow = True
             elif cap > 4 * fit:
-                # shrink-on-overshoot, as in _run_resident: estimate-led
-                # capacities that came in far too large re-specialize once
-                self._caps[k] = fit
-                overflow = True
+                # DEFERRED shrink, as in _run_resident: the oversized run's
+                # result is correct; the smaller shape compiles next call
+                # (bounded 64x per step — capacity coupling can ping-pong)
+                self._caps[k] = max(fit, cap >> 6)
         self.metrics.join_caps = dict(self._caps)
         return overflow
 

@@ -317,13 +317,19 @@ class QueryHandle:
                     overflow = True
                     _debug_retry("grow", k, n, cap, total, fit)
                 elif cap > 4 * fit and cap > _SHRINK_FLOOR:
-                    # shrink-on-overshoot: heuristic capacities that came in
-                    # far too large re-specialize once (compile is cached).
-                    # Small overshoots stay: the recompile costs more than
-                    # the memory (floor = 1M rows)
-                    self._caps[k] = fit
-                    overflow = True
-                    _debug_retry("shrink", k, n, cap, total, fit)
+                    # shrink-on-overshoot is DEFERRED, not retried: the
+                    # oversized run already produced a CORRECT result (too
+                    # much capacity never truncates), so re-running buys
+                    # nothing — the shrunk capacity takes effect at the next
+                    # run()/compile and persists via the learned-cap store.
+                    # (SF1 Q18 paid a full recompile to re-run a 4M-cap
+                    # aggregate holding 62 rows before this.) Bounded to
+                    # 64x per step: capacities COUPLE (a smaller build
+                    # shrinks its bucket table, raising downstream false-hit
+                    # candidates), so a full collapse can overshoot the
+                    # other way and ping-pong.
+                    self._caps[k] = max(fit, cap >> 6)
+                    _debug_retry("shrink", k, n, cap, total, self._caps[k])
             self.metrics.join_caps = dict(self._caps)
             if not overflow:
                 self._save_caps(adaptive)
@@ -409,12 +415,17 @@ class QueryHandle:
                 for (k, n), total in zip(sub_adaptive, totals):
                     cap = self._caps.get(k, total)
                     fit = round_capacity(max(total, 1), minimum=1024)
-                    if total > cap or (total > 0 and cap > 4 * fit
-                                       and cap > _SHRINK_FLOOR):
-                        _debug_retry("grow" if total > cap else "shrink",
-                                     k, n, cap, total, fit)
+                    if total > cap:
+                        _debug_retry("grow", k, n, cap, total, fit)
                         self._caps[k] = fit
                         overflow = True
+                    elif total > 0 and cap > 4 * fit \
+                            and cap > _SHRINK_FLOOR:
+                        # deferred shrink, bounded to 64x per step (see
+                        # _run_resident: capacity coupling can ping-pong)
+                        self._caps[k] = max(fit, cap >> 6)
+                        _debug_retry("shrink", k, n, cap, total,
+                                     self._caps[k])
                 self.metrics.join_caps = dict(self._caps)
                 if not overflow:
                     break
