@@ -208,20 +208,29 @@ class PHashJoin(PhysicalPlan):
         p, p_valid = _execute_maybe_expanded(self.probe, tables, ctx)
         cap = ctx.join_caps.get(self.join_id)
         if cap is None:
+            import os
+            # HBM ceiling on SEED capacities (learned/grown caps may exceed
+            # it): estimates can cascade arbitrarily high (SF10 Q18: an
+            # unknowable HAVING selectivity made the semi-join estimate 1000x
+            # over, seeding a 67M-row join capacity that OOMed on first
+            # launch). An undershoot costs ONE grow-retry; an overshoot
+            # kills the query — so the seed is bounded and the retry loop
+            # owns the genuinely-huge cases.
+            ceiling = int(os.environ.get("DFP_MAX_JOIN_SEED_CAP", 1 << 25))
             if self.est_rows > 0:
                 # planner cardinality estimate with 1.3x headroom (the
-                # estimate is MATCHES; the capacity bounds CANDIDATES, which
-                # add CSR bucket-collision false positives), clamped: a wild
-                # overestimate must not out-allocate the inputs by more than
-                # 4x (HBM), a wild underestimate still gets the retry
+                # estimate is MATCHES + bucket false hits; the capacity
+                # bounds CANDIDATES), clamped: a wild overestimate must not
+                # out-allocate the inputs by more than 4x (HBM), a wild
+                # underestimate still gets the retry
                 cap = min(round_capacity(int(1.3 * self.est_rows),
                                          minimum=1024),
-                          4 * max(256, b.capacity, p.capacity))
+                          4 * max(256, b.capacity, p.capacity), ceiling)
             else:
                 # ~1 match per probe row is the common FK-join shape;
                 # overflow retry grows it, shrink-on-overshoot trims it —
                 # and the FIRST run must fit in HBM (SF1 Q5 OOMs at 2x)
-                cap = max(256, b.capacity, p.capacity)
+                cap = min(max(256, b.capacity, p.capacity), ceiling)
             ctx.join_caps[self.join_id] = cap
         residual_fn = None
         if self.residual is not None:
