@@ -284,15 +284,47 @@ def _expandable_join(n, ctx) -> bool:
 
 def _execute_maybe_expanded(node, tables, ctx):
     """(table, mask|None): execute `node` late-materialized if it is an
-    expandable join, looking through any PProject chain (projections are
-    elementwise and row-aligned, so they commute with the mask)."""
+    expandable join OR a filter, looking through any PProject chain
+    (projections are elementwise and row-aligned, so they commute with the
+    mask).
+
+    Filter fusion into joins: a filter feeding a join side becomes a
+    validity mask on that side (hash_join's build_valid/probe_valid)
+    instead of a full pack + argsort + row-gather compaction. At SF100 the
+    o_orderdate filter's compaction of a 151M-capacity orders table cost
+    ~10 GB of packed/gather temps inside the streaming prepare program —
+    the mask costs one elementwise pass."""
+    import jax.numpy as jnp
+
     projs = []
     n = node
     while isinstance(n, PProject):
         projs.append(n)
         n = n.child
+    t = mask = None
     if _expandable_join(n, ctx):
         t, mask = n.execute_expanded(tables, ctx)
+    elif isinstance(n, PFilter) and not isinstance(n.child, PFilter):
+        if _expandable_join(n.child, ctx):
+            t, match = n.child.execute_expanded(tables, ctx)
+            v, valid, _ = n.predicate.eval(t)
+            mask = match & valid & v.astype(jnp.bool_)
+            ctx.join_totals[n.node_id] = jnp.int32(0)
+        else:
+            # gate: only weakly-selective filters (est keeps >= 1/4 of the
+            # rows) over BIG scans fuse — a selective filter's compaction
+            # shrinks every downstream capacity and must still run
+            c = n.child
+            while isinstance(c, PProject):
+                c = c.child
+            if isinstance(c, PScan) and c.label in tables:
+                cap_c = tables[c.label].capacity
+                if cap_c > (1 << 22) and n.est_rows * 4 >= cap_c:
+                    t = n.child.execute(tables, ctx)
+                    v, valid, _ = n.predicate.eval(t)
+                    mask = valid & v.astype(jnp.bool_)
+                    ctx.join_totals[n.node_id] = jnp.int32(0)
+    if t is not None:
         for pr in reversed(projs):
             t = project_table(t, pr.exprs, pr.out_fields)
         return t, mask

@@ -27,8 +27,17 @@ import numpy as np
 
 
 def round_capacity(n: int, minimum: int = 128) -> int:
-    """Round a row count up to the next power of two (bounded recompiles)."""
+    """Round a row count up to the next power of two (bounded recompiles).
+
+    Above 64M rows, round to the next multiple of 4M instead: a power-of-2
+    capacity wastes up to 2x at exactly the scale where HBM is the binding
+    constraint (SF100 orders: 150M rows -> 268M pow2 capacity; its [5, cap]
+    pack alone is 8 GB padded). 4M steps keep the distinct-shape count
+    bounded (compile cache) while capping padding waste at ~3%."""
     n = max(int(n), minimum)
+    if n > (1 << 26):
+        step = 1 << 22
+        return -(-n // step) * step
     return 1 << (n - 1).bit_length()
 
 
