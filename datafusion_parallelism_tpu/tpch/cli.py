@@ -178,7 +178,10 @@ def run(argv=None) -> dict:
         m = handle.metrics
         results["query_metrics"][q] = {
             "compiles": m.compile_count, "compile_time_s": m.compile_time_s,
-            "retries": m.retries, "join_caps": m.join_caps,
+            "retries": m.retries,
+            # distributed send-cap keys are (join_id, side) tuples — JSON
+            # object keys must be strings
+            "join_caps": {str(k): v for k, v in m.join_caps.items()},
             "streamed_chunks": m.streamed_chunks}
         if args.concurrency > 1:
             # distributed scaling proxies (BASELINE's >=80% scaling target
