@@ -197,23 +197,32 @@ def _direct_aggregate(t: DeviceTable, group_keys: List[str],
     return DeviceTable(out_schema, cols, kept), n_groups
 
 
+def _single_word_key(t: DeviceTable, group_keys: List[str]):
+    """(int32 word, validity) when the whole group key is ONE int32 word
+    (int32/date32/dictionary code/bool), else None. Such keys are grouped by
+    sorting the VALUE directly — exact by definition, no hash involved.
+
+    This replaced a hash-only fast path that claimed fmix32 injectivity: the
+    0xFFFFFFFE clamp in hash_aggregate_counted merges two hash values, and
+    NULL keys take the fixed NULL_HASH which collides with the one value v
+    where combine(SEED, fmix32(v)) == that hash — either could interleave two
+    distinct groups and silently split their aggregates."""
+    if len(group_keys) != 1:
+        return None
+    kind = t.schema.field(group_keys[0]).dtype.kind
+    if kind not in (Kind.INT32, Kind.DATE32, Kind.STRING, Kind.BOOL):
+        return None
+    v, valid = t.column(group_keys[0])
+    return v.astype(jnp.int32), valid
+
+
 def _exact_key_operands(t: DeviceTable, group_keys: List[str]):
     """Extra lax.sort operands that make the grouping sort exact under
-    32-bit hash collisions, or [] when the hash is INJECTIVE on the key
-    domain: for a single int32-word column (int32/date32/dictionary
-    code/bool), fmix32 is a bijection on uint32 and combine(SEED, .) is a
-    bijection in its second argument, so distinct keys cannot collide and
-    the hash alone is a perfect sort key.
-
-    For everything else (multi-column keys, int64/decimal, floats) the
-    operands are the key's canonicalized value words plus ONE validity word
-    over the key columns: rows equal in (hash, words, validity) are exactly
-    the rows of one SQL group (NULLs grouped together; -0.0 == 0.0
-    canonicalized like the hash does)."""
-    if len(group_keys) == 1:
-        kind = t.schema.field(group_keys[0]).dtype.kind
-        if kind in (Kind.INT32, Kind.DATE32, Kind.STRING, Kind.BOOL):
-            return []
+    32-bit hash collisions (multi-column keys, int64/decimal, floats): the
+    key's canonicalized value words plus ONE validity word over the key
+    columns. Rows equal in (hash, words, validity) are exactly the rows of
+    one SQL group (NULLs grouped together; -0.0 == 0.0 canonicalized like
+    the hash does)."""
     cap = t.capacity
     ops = []
     kv_word = jnp.zeros((cap,), jnp.uint32)
@@ -268,32 +277,44 @@ def hash_aggregate_counted(t: DeviceTable, group_keys: List[str],
         # fused filter: failing rows become padding — the grouping sort
         # pushes them past the valid prefix, so no separate compaction runs
         in_row = in_row & row_filter
-    h = hash_rows([t.column(k) for k in group_keys])
-    # INT32 sort keys: an int64 argsort (hash + 2^33 padding sentinel)
-    # measured 42 ms at 4M rows vs ~2 ms for int32. Clamp hashes to
-    # 0xFFFFFFFE so 0xFFFFFFFF (biased: INT32_MAX) is free for padding —
-    # the prefix property (all valid rows sort before all padding) holds
-    # exactly, and the clamp only MERGES the 0xFFFFFFFE/0xFFFFFFFF hash
-    # segments: the value-compare boundary below still splits distinct keys.
-    h = jnp.minimum(h, jnp.uint32(0xFFFFFFFE))
-    biased = jax.lax.bitcast_convert_type(h ^ jnp.uint32(0x80000000),
-                                          jnp.int32)
-    sort_key = jnp.where(in_row, biased, jnp.int32(0x7FFFFFFF))
-    extra = _exact_key_operands(t, group_keys)
-    if extra:
-        # EXACTNESS under 32-bit hash collisions: two distinct keys with the
-        # same hash can INTERLEAVE inside the equal-hash run of a stable
-        # hash-only sort, and adjacent value-comparison then splits each key
-        # into multiple output groups (observed: 5 groups from 2 interleaved
-        # colliding keys). Sub-sorting the run by the key words + key
-        # validity makes equal keys contiguous, which is all the boundary
-        # test needs. Skipped when the hash is injective on the key domain.
+    single = _single_word_key(t, group_keys)
+    if single is not None:
+        # ONE-int32-word key: sort by the VALUE, not the hash — grouping by
+        # value is exact by definition. zone makes valid / NULL / padding
+        # rows contiguous (padding strictly last, preserving the prefix
+        # property); within the NULL zone the value word is garbage, but the
+        # boundary test below treats NULL==NULL as equal so the run never
+        # splits. Two int32 sort keys, still far from the 42 ms int64 cliff.
+        word, kvalid = single
+        zone = jnp.where(in_row, jnp.where(kvalid, 0, 1), 2)
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        res = jax.lax.sort((zone.astype(jnp.int32), word, iota),
+                           dimension=0, is_stable=True, num_keys=2)
+        perm = res[-1]
+    else:
+        h = hash_rows([t.column(k) for k in group_keys])
+        # INT32 sort keys: an int64 argsort (hash + 2^33 padding sentinel)
+        # measured 42 ms at 4M rows vs ~2 ms for int32. Clamp hashes to
+        # 0xFFFFFFFE so 0xFFFFFFFF (biased: INT32_MAX) is free for padding —
+        # the prefix property (all valid rows sort before all padding) holds
+        # exactly, and the clamp only MERGES the 0xFFFFFFFE/0xFFFFFFFF hash
+        # segments: the value-compare sub-sort below still splits distinct
+        # keys. EXACTNESS under 32-bit hash collisions: two distinct keys
+        # with the same hash can INTERLEAVE inside the equal-hash run of a
+        # stable hash-only sort, and adjacent value-comparison then splits
+        # each key into multiple output groups (observed: 5 groups from 2
+        # interleaved colliding keys). Sub-sorting the run by the key words
+        # + key validity makes equal keys contiguous, which is all the
+        # boundary test needs.
+        h = jnp.minimum(h, jnp.uint32(0xFFFFFFFE))
+        biased = jax.lax.bitcast_convert_type(h ^ jnp.uint32(0x80000000),
+                                              jnp.int32)
+        sort_key = jnp.where(in_row, biased, jnp.int32(0x7FFFFFFF))
+        extra = _exact_key_operands(t, group_keys)
         iota = jnp.arange(cap, dtype=jnp.int32)
         res = jax.lax.sort(tuple([sort_key] + extra + [iota]), dimension=0,
                            is_stable=True, num_keys=1 + len(extra))
         perm = res[-1]
-    else:
-        perm = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
     # padding sorts past every valid row, so sorted validity is a PREFIX
     # mask — no gather of in_row through perm needed
     n_valid = jnp.sum(in_row, dtype=jnp.int32)

@@ -92,13 +92,28 @@ def table_size_for(capacity: int) -> int:
     return max(4 * capacity, 1 << 16)
 
 
+def slot_of(hashes: jnp.ndarray, T: int) -> jnp.ndarray:
+    """Map a uint32 hash to a bucket in [0, T) for ANY T.
+
+    Capacities above 64M round to 4M multiples (columnar.round_capacity), so
+    T = 4*cap is not a power of two there and an AND-mask would reach only
+    2^popcount(T-1) buckets (e.g. cap=150,994,944 -> 2^27 of 604M buckets),
+    inflating the effective load factor ~4-9x. Non-pow2 T uses the
+    multiply-shift reduction (Lemire): floor(h * T / 2^32) — uniform for any
+    T, one emulated-u64 multiply per row (cheap vs the bucket gather)."""
+    if T & (T - 1) == 0:
+        return (hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+    wide = hashes.astype(jnp.uint64) * jnp.uint64(T)
+    return (wide >> jnp.uint64(32)).astype(jnp.int32)
+
+
 def build_csr(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable:
     import os
     cap = hashes.shape[0]
     T = table_size_for(cap)
     in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
     ok = in_row & key_valid
-    slot = jnp.where(ok, (hashes & jnp.uint32(T - 1)).astype(jnp.int32), T)
+    slot = jnp.where(ok, slot_of(hashes, T), T)
     counts = jnp.zeros((T + 1,), jnp.int32).at[slot].add(1)
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts, dtype=jnp.int32)])
@@ -142,7 +157,7 @@ def build_oa(hashes: jnp.ndarray, key_valid: jnp.ndarray, num_rows) -> JoinTable
     in_row = jnp.arange(cap, dtype=jnp.int32) < num_rows
     ok = in_row & key_valid
     h32 = jax.lax.bitcast_convert_type(hashes.astype(jnp.uint32), jnp.int32)
-    home = (hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+    home = slot_of(hashes, T)
     # sort by (home, hash): same-home rows group, same-hash rows adjacent;
     # invalid rows carry a sentinel > any composite and sort last
     composite = ((home.astype(jnp.int64) << jnp.int64(32))
@@ -172,7 +187,7 @@ def _probe_oa(table: JoinTable, probe_hashes: jnp.ndarray, ok: jnp.ndarray):
     m = probe_hashes.shape[0]
     ph32 = jax.lax.bitcast_convert_type(
         probe_hashes.astype(jnp.uint32), jnp.int32)
-    home = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+    home = slot_of(probe_hashes, T)
     # phase 0 = seeking first match, 1 = counting the run, 2 = done
     phase0 = jnp.where(ok, jnp.int32(0), jnp.int32(2))
     zeros = jnp.zeros((m,), jnp.int32)
@@ -248,7 +263,7 @@ def probe_ranges(table: JoinTable, probe_hashes: jnp.ndarray,
         count = end - start
     else:
         T = table.offsets.shape[0] - 2
-        slot = (probe_hashes & jnp.uint32(T - 1)).astype(jnp.int32)
+        slot = slot_of(probe_hashes, T)
         if table.start_count.ndim == 2:
             # ONE 2-row minor-axis gather (9.1 ns/idx vs 15.1 for int64);
             # via take_rows for its >2M-index HBM-temp chunking

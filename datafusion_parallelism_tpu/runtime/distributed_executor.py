@@ -514,7 +514,10 @@ class DistributedQueryHandle(QueryHandle):
         mat_schemas: Dict[int, object] = {}
         self.metrics.stage_bytes = []
         from ..parallel.shuffle import get_comm_bytes, reset_comm_bytes
-        total_comm = 0
+        # per-stage comm bytes keyed by stage: comm is traced at COMPILE time
+        # only, so cache hits must replay the value recorded with the
+        # executable or every warm collect() would report comm_bytes = 0
+        stage_comm: Dict[int, int] = {}
 
         for stage_idx, (materialize, node) in enumerate(stages):
             sub_joins = [j for j in joins
@@ -544,6 +547,7 @@ class DistributedQueryHandle(QueryHandle):
                 cached = self._staged_compiled.get(stage_idx)
                 if cached is not None and cached[0] == stage_key():
                     compiled = cached[1]
+                    stage_comm[stage_idx] = cached[2]
                 else:
                     @fpartial(jax.shard_map, mesh=self.mesh,
                               in_specs=(P(axis), P(axis), P(axis)),
@@ -575,11 +579,12 @@ class DistributedQueryHandle(QueryHandle):
                     reset_comm_bytes()
                     compiled = jax.jit(step).lower(
                         leaf_cols, leaf_rows, mat_list).compile()
-                    total_comm += get_comm_bytes()
+                    stage_comm[stage_idx] = get_comm_bytes()
                     self._caps.update(caps)
                     self.metrics.compile_count += 1
                     self.metrics.compile_time_s += time.time() - t0
-                    self._staged_compiled[stage_idx] = (stage_key(), compiled)
+                    self._staged_compiled[stage_idx] = (
+                        stage_key(), compiled, stage_comm[stage_idx])
                 t0 = time.time()
                 ocols, onum, totals, balance = compiled(
                     leaf_cols, leaf_rows, mat_list)
@@ -615,7 +620,7 @@ class DistributedQueryHandle(QueryHandle):
             if materialize:
                 mats[node.join_id] = (ocols, onum)
                 mat_schemas[node.join_id] = node.schema
-        self.metrics.comm_bytes = total_comm
+        self.metrics.comm_bytes = sum(stage_comm.values())
         if multiproc:
             from ..parallel.multihost import allgather_tree
             ocols = allgather_tree(ocols)

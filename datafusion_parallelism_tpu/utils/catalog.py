@@ -66,14 +66,17 @@ class RegisteredTable:
         same skew dynamically with work stealing,
         work_stealing_repartition_exec.rs:50-115; TPUs cannot steal, so the
         planner decides statically from this statistic). Computed once, on a
-        bounded prefix sample for very large tables."""
+        bounded STRIDED sample for very large tables — a prefix sample
+        grossly mis-estimates the hot-key share on value-clustered/sorted
+        columns (common for generated or ingested-sorted data) and would
+        silently flip the automatic skew_salted decision."""
         d = self.statistics.mcv_share.get(col)
         if d is None:
             import numpy as np
             vals, valid = self.host.columns[col]
             n = len(vals)
-            lim = min(n, 1 << 22)   # bounded sample: O(n log n) unique
-            v = np.asarray(vals[:lim])[np.asarray(valid[:lim])]
+            stride = max(1, n >> 22)   # ≤4M sampled rows, spread over n
+            v = np.asarray(vals[::stride])[np.asarray(valid[::stride])]
             if v.size == 0:
                 d = 0.0
             else:
