@@ -72,6 +72,14 @@ class ExecContext:
         # nodes that run shard-LOCAL (root ORDER BY merges at collection)
         self.join_balance: Dict[int, jnp.ndarray] = {}
         self.local_sort_ids = frozenset()
+        # streaming-only: join_id -> incoming visited mask (or None for the
+        # first chunk) for build-emitting joins whose probe side is streamed
+        # in chunks; the join executes chunk-wise (pairs only; build-side
+        # emission deferred) and records visited_out = incoming | this
+        # chunk's matches. The cross-chunk ConcurrentBitSet analog
+        # (reference full.rs:77-201).
+        self.stream_visited: Dict[int, object] = {}
+        self.visited_out: Dict[int, jnp.ndarray] = {}
 
 
 @dataclass
@@ -238,15 +246,63 @@ class PHashJoin(PhysicalPlan):
             residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
         return b, p, cap, residual_fn, prepared, b_valid, p_valid
 
+    # streamed-probe rewrites: per-chunk emission of a build-emitting join
+    # is its probe-linear part (pairs; plus the chunk's own unmatched probe
+    # rows for FULL); the build-side emission is deferred to the stream's
+    # flush pass via the folded visited mask
+    _STREAM_CHUNK_TYPE = {JoinType.LEFT: JoinType.INNER,
+                          JoinType.FULL: JoinType.RIGHT}
+
     def execute(self, tables, ctx):
         if self.join_id in ctx.materialized:   # staged execution boundary
             return ctx.materialized[self.join_id]
+        if self.join_id in ctx.stream_visited:
+            return self._execute_stream_chunk(tables, ctx)
         (b, p, cap, residual_fn, prepared,
          b_valid, p_valid) = self._inputs_and_cap(tables, ctx)
         out, total = hash_join(b, p, self.build_keys, self.probe_keys,
                                self.join_type, cap, strategy=self.strategy,
                                residual=residual_fn, prepared=prepared,
                                build_valid=b_valid, probe_valid=p_valid)
+        ctx.join_totals[self.join_id] = total
+        return out
+
+    def _execute_stream_chunk(self, tables, ctx):
+        """One probe chunk of a build-emitting join under morsel streaming:
+        emit the chunk's probe-linear rows now, fold this chunk's build-row
+        matches into the cross-chunk visited mask (ctx.visited_out). The
+        deferred build-side rows (unmatched for LEFT/FULL/LEFT_ANTI, matched
+        for LEFT_SEMI) are emitted once by runtime/streaming.py's flush pass
+        after the last chunk — the reference's last-stream finalizer
+        (full.rs:181-201) with the barrier replaced by the end of the chunk
+        loop."""
+        from ..utils.columnar import null_columns_like
+        (b, p, cap, residual_fn, prepared,
+         b_valid, p_valid) = self._inputs_and_cap(tables, ctx)
+        chunk_type = self._STREAM_CHUNK_TYPE.get(self.join_type)
+        if chunk_type is not None:            # LEFT / FULL: pairs this chunk
+            out, total, vis = hash_join(
+                b, p, self.build_keys, self.probe_keys, chunk_type, cap,
+                strategy=self.strategy, residual=residual_fn,
+                prepared=prepared, build_valid=b_valid, probe_valid=p_valid,
+                return_visited=True)
+            # output schemas line up: INNER's == LEFT's, RIGHT's == FULL's
+            # (both emit build+probe columns)
+        else:                                 # LEFT_SEMI / LEFT_ANTI
+            # per-chunk emission is EMPTY (the output is build rows, all
+            # deferred); only the visited fold runs. expanded=True keeps
+            # this gather-free.
+            _, _, total, vis = hash_join(
+                b, p, self.build_keys, self.probe_keys, self.join_type, cap,
+                strategy=self.strategy, residual=residual_fn,
+                prepared=prepared, expanded=True, build_valid=b_valid,
+                probe_valid=p_valid, return_visited=True)
+            out = DeviceTable(self.schema,
+                              null_columns_like(self.schema, 128),
+                              jnp.int32(0))
+        incoming = ctx.stream_visited[self.join_id]
+        ctx.visited_out[self.join_id] = (vis if incoming is None
+                                         else incoming | vis)
         ctx.join_totals[self.join_id] = total
         return out
 
@@ -279,7 +335,10 @@ def _expandable_join(n, ctx) -> bool:
         return False
     return (isinstance(n, PHashJoin)
             and n.join_type in PHashJoin.EXPANDABLE
-            and n.join_id not in ctx.materialized)
+            and n.join_id not in ctx.materialized
+            # streamed-probe joins must take execute()'s chunk-wise branch
+            # (visited fold + deferred emission), not late materialization
+            and n.join_id not in ctx.stream_visited)
 
 
 def _execute_maybe_expanded(node, tables, ctx):
@@ -398,6 +457,13 @@ class PAggregate(PhysicalPlan):
         return self.child.execute(tables, ctx), None
 
     def execute(self, tables, ctx):
+        if self.node_id in ctx.materialized:
+            # streaming execution materializes the merge-point aggregate's
+            # finished result and runs the REST of the plan (anything above
+            # it: outer aggregates, joins, sorts) on it — the generalized
+            # "head" (a Q13-shaped plan has a second aggregate above the
+            # streamed one)
+            return ctx.materialized[self.node_id]
         child, row_filter = self.fused_child(tables, ctx)
         cap = ctx.join_caps.get(self.node_id)
         if cap is None:

@@ -170,7 +170,8 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
               prepared: Optional[PreparedBuild] = None,
               expanded: bool = False,
               build_valid: Optional[jnp.ndarray] = None,
-              probe_valid: Optional[jnp.ndarray] = None):
+              probe_valid: Optional[jnp.ndarray] = None,
+              return_visited: bool = False):
     """Join two device tables. Fully jit-traceable, static shapes.
 
     residual: optional predicate over the candidate pair table returning
@@ -189,6 +190,14 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
     semi/anti the table is the surviving INPUT side itself (build for
     LEFT_*, probe for RIGHT_*) and the mask is its match/visited flag, so
     the join emits no gathers at all beyond the probe.
+
+    return_visited: append the raw build-side visited mask (bool[build
+    capacity], true where a build row matched THIS probe input, residual
+    included) to the returned tuple. Streaming execution folds these masks
+    across probe chunks (OR) — the cross-chunk analog of the reference's
+    build-side ConcurrentBitSet that outlives every probe batch (reference
+    src/operator/probe_lookup_implementation/full.rs:77-201) — and emits the
+    deferred unmatched/matched build rows in a final flush pass.
 
     build_valid / probe_valid: CHAIN FUSION — an input side may itself be
     another join's expanded output: the same capacity of uncompacted rows
@@ -348,6 +357,7 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
             match = match & rvalid & rvals
 
     if expanded and join_type is JoinType.INNER:
+        assert not return_visited
         return hstack_tables(gbt, gpt, out_cap), match, cr.total
 
     # visited/matched flags (reference ConcurrentBitSet analog)
@@ -369,14 +379,16 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         # masked — return it uncompacted with the mask, skipping
         # _filter_rows' scatter+gather entirely.
         if join_type is JoinType.LEFT_SEMI:
-            return build, build_in & visited, cr.total
-        if join_type is JoinType.LEFT_ANTI:
-            return build, build_in & ~visited, cr.total
-        if join_type is JoinType.RIGHT_SEMI:
-            return probe, probe_in & probe_matched, cr.total
-        if join_type is JoinType.RIGHT_ANTI:
-            return probe, probe_in & ~probe_matched, cr.total
-        raise ValueError(f"expanded unsupported for {join_type}")
+            out = (build, build_in & visited, cr.total)
+        elif join_type is JoinType.LEFT_ANTI:
+            out = (build, build_in & ~visited, cr.total)
+        elif join_type is JoinType.RIGHT_SEMI:
+            out = (probe, probe_in & probe_matched, cr.total)
+        elif join_type is JoinType.RIGHT_ANTI:
+            out = (probe, probe_in & ~probe_matched, cr.total)
+        else:
+            raise ValueError(f"expanded unsupported for {join_type}")
+        return out + (visited,) if return_visited else out
 
     def pairs_table() -> DeviceTable:
         if gbt is None:
@@ -437,4 +449,6 @@ def hash_join(build: DeviceTable, probe: DeviceTable,
         result = _filter_rows(probe, probe_in & ~probe_matched)
     else:  # pragma: no cover
         raise ValueError(join_type)
+    if return_visited:
+        return result, cr.total, visited
     return result, cr.total

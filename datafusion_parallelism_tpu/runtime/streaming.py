@@ -16,16 +16,26 @@ distributed two-phase aggregate uses). HBM holds the resident (non-streamed)
 tables, one chunk, and the accumulator — out-of-core execution for
 SF100-class inputs on a single chip.
 
-Correctness requires the streamed scan to be ROW-LINEAR into the top
-aggregate:
+Correctness requires the streamed scan to reach the MERGE-POINT aggregate
+(the lowest aggregate above it) through per-chunk-decomposable operators:
   * Filter / Project are row-wise;
-  * a join is linear in its PROBE side exactly when emitted rows are a
-    function of each probe row independently: INNER, RIGHT (pairs plus the
-    chunk's own unmatched probe rows), RIGHT_SEMI, RIGHT_ANTI. Build-side
-    emitting types (LEFT*/FULL) have visited semantics that span chunks and
-    disqualify the plan;
+  * a join whose PROBE side carries the stream decomposes per chunk:
+    - INNER / RIGHT / RIGHT_SEMI / RIGHT_ANTI emit a function of each probe
+      row independently (RIGHT adds the chunk's own unmatched probe rows);
+    - LEFT / FULL / LEFT_SEMI / LEFT_ANTI (build-side emitting) stream too:
+      each chunk emits its probe-linear part (pairs; FULL also the chunk's
+      unmatched probe rows; semi/anti nothing) while a DEVICE-RESIDENT
+      visited mask over the frozen build side folds across chunks — the
+      cross-chunk analog of the reference's build-side ConcurrentBitSet that
+      outlives every probe batch (full.rs:77-201). After the last chunk a
+      FLUSH pass per such join emits the deferred build rows (unmatched for
+      LEFT/FULL/LEFT_ANTI with NULL probe columns where applicable, matched
+      for LEFT_SEMI) through the remaining path — the last-stream finalizer
+      (full.rs:181-201) with the barrier replaced by the end of the loop;
   * the build side of every join on the path must not contain the streamed
-    scan, and no second aggregate may sit between the scan and the top one.
+    scan, and no second aggregate may sit between the scan and the merge
+    point. ANYTHING may sit above the merge point (outer aggregates, joins,
+    sorts — Q13's double aggregate); it executes once on the merged result.
 The chunk program is compiled once (all chunks share shapes); join/filter
 capacity overflows retry the CURRENT chunk only, aggregate-capacity overflow
 restarts the stream with the grown capacity.
@@ -43,59 +53,47 @@ import jax
 import jax.numpy as jnp
 
 from ..models.physical import (ExecContext, PAggregate, PFilter, PHashJoin,
-                               PLimit, PProject, PScan, PSort, PhysicalPlan)
+                               PProject, PScan, PhysicalPlan)
 from ..ops.aggregate import (agg_output_schema, decompose_for_partial,
                              finish_partial, hash_aggregate_counted)
 from ..ops.join import JoinType, prepare_build
-from ..ops.project import project_table
-from ..ops.sort import limit_table, sort_table
-from ..utils.columnar import (DeviceTable, PackedTable, Schema, concat_tables,
+from ..utils.columnar import (DeviceTable, PackedTable, concat_tables,
                               pack_host_slice, round_capacity, unpack_table)
 
 _LINEAR_JOIN_TYPES = (JoinType.INNER, JoinType.RIGHT, JoinType.RIGHT_SEMI,
                       JoinType.RIGHT_ANTI)
+# build-emitting types: stream-eligible via the cross-chunk visited mask
+_VISITED_JOIN_TYPES = (JoinType.LEFT, JoinType.FULL, JoinType.LEFT_SEMI,
+                       JoinType.LEFT_ANTI)
 
 
 @dataclass
 class StreamPlan:
-    agg: PAggregate              # the cross-chunk merge point
-    head: List[PhysicalPlan]     # nodes above agg, outermost first
+    agg: PAggregate              # the cross-chunk merge point (lowest agg)
+    root: PhysicalPlan           # full plan; nodes above agg run at finish
     scan: PScan                  # the streamed scan
+    # build-emitting joins on the stream path, INNERMOST (closest to the
+    # scan) first — the flush order: a lower join's deferred rows probe the
+    # higher joins and mark their visited masks before those flush
+    visited_joins: List[PHashJoin]
 
 
 def _contains(node: PhysicalPlan, scan: PScan) -> bool:
     return any(n is scan for n in node.walk())
 
 
-def _linear_path(node: PhysicalPlan, scan: PScan) -> bool:
-    """True iff `scan`'s rows flow to `node`'s output row-linearly."""
+def _path_to(node: PhysicalPlan, scan: PScan) -> Optional[List[PhysicalPlan]]:
     if node is scan:
-        return True
-    if isinstance(node, (PFilter, PProject)):
-        return _linear_path(node.child, scan)
-    if isinstance(node, PHashJoin):
-        if _contains(node.build, scan):
-            return False             # stream side must be the probe side
-        if node.join_type not in _LINEAR_JOIN_TYPES:
-            return False
-        return _linear_path(node.probe, scan)
-    # PAggregate / PSort / PLimit between the scan and the merge point are
-    # not row-linear
-    return False
+        return [node]
+    for c in node.children():
+        p = _path_to(c, scan)
+        if p is not None:
+            return [node] + p
+    return None
 
 
 def plan_stream(plan: PhysicalPlan, catalog) -> Optional[StreamPlan]:
-    node, head = plan, []
-    while isinstance(node, (PProject, PSort, PLimit)):
-        head.append(node)
-        node = node.child
-    if not isinstance(node, PAggregate):
-        return None
-    agg = node
-    if any(a.func not in ("sum", "count", "count_star", "min", "max", "avg")
-           for a in agg.aggs):
-        return None    # not decomposable into partial + merge
-    scans = [n for n in agg.walk() if isinstance(n, PScan)]
+    scans = [n for n in plan.walk() if isinstance(n, PScan)]
     if not scans:
         return None
     scan = max(scans, key=lambda s: catalog.get(s.table_name).host.num_rows)
@@ -104,9 +102,34 @@ def plan_stream(plan: PhysicalPlan, catalog) -> Optional[StreamPlan]:
     if sum(1 for n in plan.walk()
            if isinstance(n, PScan) and n.table_name == scan.table_name) != 1:
         return None
-    if not _linear_path(agg.child, scan):
+    path = _path_to(plan, scan)
+    aggs_on_path = [n for n in path if isinstance(n, PAggregate)]
+    if not aggs_on_path:
         return None
-    return StreamPlan(agg, head, scan)
+    agg = aggs_on_path[-1]      # LOWEST aggregate above the scan: the merge
+    # point. Everything above it (outer aggregates, joins, sorts — Q13)
+    # executes once on the merged result at finish time.
+    if any(a.func not in ("sum", "count", "count_star", "min", "max", "avg")
+           for a in agg.aggs):
+        return None    # not decomposable into partial + merge
+    sub = path[path.index(agg) + 1:]       # agg.child .. scan, outermost 1st
+    visited_joins: List[PHashJoin] = []
+    for i, node in enumerate(sub[:-1]):
+        if isinstance(node, (PFilter, PProject)):
+            continue
+        if isinstance(node, PHashJoin):
+            nxt = sub[i + 1]
+            if not any(m is nxt for m in node.probe.walk()):
+                return None      # stream side must be the probe side
+            if node.join_type in _VISITED_JOIN_TYPES:
+                visited_joins.append(node)
+            elif node.join_type not in _LINEAR_JOIN_TYPES:
+                return None
+            continue
+        # PAggregate / PSort / PLimit between the scan and the merge point
+        return None
+    visited_joins.reverse()                # innermost first = flush order
+    return StreamPlan(agg, plan, scan, visited_joins)
 
 
 def stream_upload_bytes(catalog, sp: StreamPlan, live_cols) -> int:
@@ -128,17 +151,23 @@ def _chunk_arrays(reg, live_cols, lo: int, chunk_rows: int, label: str):
     return schema, layout, packed, f64s, n
 
 
-def _run_head(out: DeviceTable, head: List[PhysicalPlan]) -> DeviceTable:
-    for n in reversed(head):
-        if isinstance(n, PProject):
-            out = project_table(out, n.exprs, n.out_fields)
-        elif isinstance(n, PSort):
-            out = sort_table(out, n.keys)
-        elif isinstance(n, PLimit):
-            out = limit_table(out, n.n)
-        else:  # pragma: no cover
-            raise NotImplementedError(type(n))
-    return out
+def _flush_input(J: PHashJoin, build: DeviceTable,
+                 vis: jnp.ndarray) -> DeviceTable:
+    """The deferred build-side emission of a streamed build-emitting join,
+    shaped as J's OUTPUT: matched build rows for LEFT_SEMI, unmatched for
+    LEFT_ANTI, unmatched + NULL probe columns for LEFT/FULL (reference
+    finalizer emissions, full.rs:181-201 / left_semi.rs:166)."""
+    from ..utils.columnar import filter_rows, hstack_tables, null_columns_like
+    bin_ = build.row_mask()
+    if J.join_type is JoinType.LEFT_SEMI:
+        return filter_rows(build, bin_ & vis)
+    if J.join_type is JoinType.LEFT_ANTI:
+        return filter_rows(build, bin_ & ~vis)
+    ub = filter_rows(build, bin_ & ~vis)
+    nulls = DeviceTable(J.probe.schema,
+                        null_columns_like(J.probe.schema, ub.capacity),
+                        ub.num_rows)
+    return hstack_tables(ub, nulls, ub.num_rows)
 
 
 def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
@@ -155,6 +184,8 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
     partial_specs, merge_specs, finishers = decompose_for_partial(agg.aggs)
     partial_schema = agg_output_schema(agg.child.schema, agg.group_keys,
                                        partial_specs)
+    vjoins = sp.visited_joins          # innermost first (flush order)
+    vids = [j.join_id for j in vjoins]
 
     # Joins on the stream path probe a FROZEN build side: their build
     # subtrees are stream-free (guaranteed by plan_stream), so the lookup
@@ -232,8 +263,9 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             caps = dict(handle._caps)
 
             def step(resident, packed, f64s, chunk_n, acc_cols, acc_rows,
-                     prepared, _caps=caps):
+                     vis_list, prepared, _caps=caps):
                 ctx = ExecContext(_caps, prepared=prepared)
+                ctx.stream_visited = dict(zip(vids, vis_list))
                 tables = dict(resident)
                 # reconstruct the chunk from its single packed upload
                 # (unpack is elementwise bit ops — fused for free)
@@ -249,7 +281,9 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                     merge_specs, agg_cap)
                 totals = [ctx.join_totals.get(k, jnp.int32(0))
                           for k, _ in sub_adaptive]
-                return merged.columns, merged.num_rows, mtotal, totals
+                new_vis = [ctx.visited_out[v] for v in vids]
+                return (merged.columns, merged.num_rows, mtotal, new_vis,
+                        totals)
 
             return caps, jax.jit(step)
 
@@ -266,6 +300,10 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                              jnp.zeros((acc_cap,), jnp.bool_))
                     for f in partial_schema.fields}
         acc_rows = jnp.int32(0)
+        # device-resident visited accumulators, one per build-emitting join
+        # on the path (bool over its FROZEN build capacity)
+        vis_list = [jnp.zeros((prepared[j.join_id].build.capacity,),
+                              jnp.bool_) for j in vjoins]
         restart = False
         handle.metrics.streamed_chunks = 0
 
@@ -281,7 +319,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
         def validate(pending):
             """-> (ok, mtotal). Blocks on the pending chunk's scalars."""
             nonlocal restart, compiled, caps, step
-            idx, _, (new_cols, new_rows, mt, tot) = pending
+            idx, _, (new_cols, new_rows, mt, _nv, tot) = pending
             t0 = time.time()
             mt = int(mt)
             tot = [int(x) for x in tot]
@@ -333,29 +371,30 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                     if restart:
                         break
                     # re-run the failed chunk from its input accumulator
-                    i, (acc_cols, acc_rows) = pending[0], pending[1]
+                    i, (acc_cols, acc_rows, vis_list) = pending[0], pending[1]
                     pending = None
                     continue
                 acc_cols, acc_rows = pending[2][0], pending[2][1]
+                vis_list = pending[2][3]
                 pending = None
             if compiled is None:
                 t0 = time.time()
                 compiled = step.lower(resident, packed, f64s, chunk_n,
-                                      acc_cols, acc_rows,
+                                      acc_cols, acc_rows, vis_list,
                                       prepared).compile()
                 handle._caps.update(caps)
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
             outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
-                            acc_rows, prepared)
-            pending = (i, (acc_cols, acc_rows), outs)
+                            acc_rows, vis_list, prepared)
+            pending = (i, (acc_cols, acc_rows, vis_list), outs)
             i += 1
         while pending is not None and not restart:
             ok, mtotal = validate(pending)
             if not ok:
                 if restart:
                     break
-                idx, (acc_cols, acc_rows) = pending[0], pending[1]
+                idx, (acc_cols, acc_rows, vis_list) = pending[0], pending[1]
                 pending = None
                 t0 = time.time()
                 _, _, packed, f64s, chunk_n = _chunk_arrays(
@@ -363,18 +402,99 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                     sp.scan.label)
                 chunk_n = jnp.int32(chunk_n)
                 compiled = step.lower(resident, packed, f64s, chunk_n,
-                                      acc_cols, acc_rows, prepared).compile()
+                                      acc_cols, acc_rows, vis_list,
+                                      prepared).compile()
                 handle._caps.update(caps)
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
                 outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
-                                acc_rows, prepared)
-                pending = (idx, (acc_cols, acc_rows), outs)
+                                acc_rows, vis_list, prepared)
+                pending = (idx, (acc_cols, acc_rows, vis_list), outs)
                 continue
             acc_cols, acc_rows = pending[2][0], pending[2][1]
+            vis_list = pending[2][3]
             pending = None
         if restart:
             continue
+
+        # FLUSH passes: one per build-emitting join, innermost first — emit
+        # the deferred build rows as that join's output and run the path
+        # ABOVE it (marking higher joins' visited masks as these rows probe
+        # them), folding into the same accumulator. The reference's
+        # last-stream finalizer (full.rs:181-201), with the stream barrier
+        # replaced by the end of the chunk loop.
+        for k, J in enumerate(vjoins):
+            flush_ok = False
+            while not flush_ok:
+                fcaps = dict(handle._caps)
+
+                def flush_fn(resident, vis_list, acc_cols, acc_rows,
+                             prepared, _caps=fcaps, _k=k, _J=J):
+                    ctx = ExecContext(_caps, prepared=prepared)
+                    ctx.stream_visited = {
+                        j.join_id: vis_list[idx]
+                        for idx, j in enumerate(vjoins) if idx > _k}
+                    X = _flush_input(_J, prepared[_J.join_id].build,
+                                     vis_list[_k])
+                    ctx.materialized = {_J.join_id: X}
+                    child, row_filter = agg.fused_child(resident, ctx)
+                    partial, _ = hash_aggregate_counted(
+                        child, agg.group_keys, partial_specs, agg_cap,
+                        row_filter)
+                    acc = DeviceTable(partial_schema, acc_cols, acc_rows)
+                    merged, mtotal = hash_aggregate_counted(
+                        concat_tables([acc, partial]), agg.group_keys,
+                        merge_specs, agg_cap)
+                    new_vis = [ctx.visited_out.get(j.join_id, vis_list[idx])
+                               for idx, j in enumerate(vjoins)]
+                    totals = [ctx.join_totals.get(kk, jnp.int32(0))
+                              for kk, _ in sub_adaptive]
+                    return (merged.columns, merged.num_rows, mtotal, new_vis,
+                            totals)
+
+                t0 = time.time()
+                compiled_fl = jax.jit(flush_fn).lower(
+                    resident, vis_list, acc_cols, acc_rows,
+                    prepared).compile()
+                handle._caps.update(fcaps)
+                handle.metrics.compile_count += 1
+                handle.metrics.compile_time_s += time.time() - t0
+                t0 = time.time()
+                outs = compiled_fl(resident, vis_list, acc_cols, acc_rows,
+                                   prepared)
+                mt = int(outs[2])
+                tot = [int(x) for x in outs[4]]
+                handle.metrics.run_time_s += time.time() - t0
+                if debug:
+                    print(f"[stream] flush join {J.join_id} mtotal={mt} "
+                          f"totals={tot}", flush=True)
+                overflow = False
+                for (kk, _), total in zip(sub_adaptive, tot):
+                    cap = handle._caps.get(kk, total)
+                    if total > cap:
+                        handle._caps[kk] = round_capacity(max(total, 1),
+                                                          minimum=1024)
+                        overflow = True
+                if overflow:
+                    handle.metrics.retries += 1
+                    continue          # recompile this flush with grown caps
+                if mt > agg_cap:
+                    # new groups from the deferred rows overflowed the
+                    # accumulator: grow and restart the whole stream
+                    handle._caps[agg.node_id] = round_capacity(
+                        max(mt, 2 * agg_cap), minimum=1024)
+                    handle.metrics.retries += 1
+                    restart = True
+                    break
+                acc_cols, acc_rows = outs[0], outs[1]
+                vis_list = outs[3]
+                mtotal = mt
+                flush_ok = True
+            if restart:
+                break
+        if restart:
+            continue
+
         # persist the settled capacities (with the aggregate shrunk to its
         # true group count) so later processes compile the final shapes
         # directly — same contract as the materialized executor
@@ -384,11 +504,44 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
         handle.metrics.join_caps = dict(handle._caps)
         handle._save_caps(adaptive)
 
-        @jax.jit
-        def finish(acc_cols, acc_rows):
-            acc = DeviceTable(partial_schema, acc_cols, acc_rows)
-            out = finish_partial(acc, agg.group_keys, agg.aggs, finishers,
-                                 agg.child.schema)
-            return _run_head(out, sp.head)
+        # finish: complete the merge-point aggregate, then run the REST of
+        # the plan above it (outer aggregates / joins / sorts — e.g. Q13's
+        # second aggregate) on the finished result, with overflow retries
+        # for any adaptive nodes above the merge point
+        head_adaptive = [(kk, n) for kk, n in adaptive
+                         if not any(m is n for m in agg.walk())]
+        while True:
+            hcaps = dict(handle._caps)
 
-        return finish(acc_cols, acc_rows)
+            def finish_fn(acc_cols, acc_rows, resident, _caps=hcaps):
+                acc = DeviceTable(partial_schema, acc_cols, acc_rows)
+                out = finish_partial(acc, agg.group_keys, agg.aggs,
+                                     finishers, agg.child.schema)
+                if sp.root is agg:
+                    return out, []
+                ctx = ExecContext(_caps)
+                ctx.materialized = {agg.node_id: out}
+                res = sp.root.execute(resident, ctx)
+                totals = [ctx.join_totals.get(kk, jnp.int32(0))
+                          for kk, _ in head_adaptive]
+                return res, totals
+
+            t0 = time.time()
+            compiled_fin = jax.jit(finish_fn).lower(acc_cols, acc_rows,
+                                                    resident).compile()
+            handle._caps.update(hcaps)
+            handle.metrics.compile_count += 1
+            handle.metrics.compile_time_s += time.time() - t0
+            out, totals = compiled_fin(acc_cols, acc_rows, resident)
+            totals = [int(x) for x in totals]
+            overflow = False
+            for (kk, _), total in zip(head_adaptive, totals):
+                cap = handle._caps.get(kk, total)
+                if total > cap:
+                    handle._caps[kk] = round_capacity(max(total, 1),
+                                                      minimum=1024)
+                    overflow = True
+            if not overflow:
+                handle._save_caps(adaptive)
+                return out
+            handle.metrics.retries += 1

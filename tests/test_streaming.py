@@ -79,6 +79,64 @@ def test_streamed_global_aggregate(monkeypatch):
     assert handle.metrics.streamed_chunks == 10000 // 1024 + 1
 
 
+def _skewed_pydict_ctx():
+    """custs (small, build) + orders (big, streamed probe): orders covers
+    only half the customers so every build-emitting join type has deferred
+    (unmatched-build) rows, and some orders reference missing customers so
+    FULL has unmatched probe rows too."""
+    import random
+    rng = random.Random(7)
+    n_orders = 20000
+    custs = {"id": list(range(200)), "grp": [i % 7 for i in range(200)]}
+    orders = {"oid": list(range(n_orders)),
+              # only customers 0..99 appear; 5% dangling keys (>= 200)
+              "cust": [rng.randrange(100) if rng.random() > 0.05
+                       else 200 + rng.randrange(50) for _ in range(n_orders)],
+              "v": [float(i % 13) for i in range(n_orders)]}
+    ctx = dfp.SessionContext()
+    ctx.register_pydict("custs", custs)
+    ctx.register_pydict("orders", orders)
+    return ctx
+
+
+# Build-emitting join types stream via the cross-chunk visited mask + flush
+# pass (reference full.rs:77-201's bitset outliving every probe batch).
+_VISITED_SQL = {
+    "left": ("SELECT c.grp AS g, COUNT(o.v) AS cnt, SUM(o.v) AS s "
+             "FROM custs c LEFT JOIN orders o ON c.id = o.cust GROUP BY c.grp"),
+    "full": ("SELECT COUNT(*) AS n, SUM(o.v) AS s, MIN(c.grp) AS mg "
+             "FROM custs c FULL JOIN orders o ON c.id = o.cust"),
+    "left_semi": ("SELECT c.grp AS g, COUNT(*) AS cnt FROM custs c WHERE "
+                  "EXISTS (SELECT 1 FROM orders o WHERE o.cust = c.id) "
+                  "GROUP BY c.grp"),
+    "left_anti": ("SELECT c.grp AS g, COUNT(*) AS cnt FROM custs c WHERE "
+                  "NOT EXISTS (SELECT 1 FROM orders o WHERE o.cust = c.id) "
+                  "GROUP BY c.grp"),
+}
+
+
+@pytest.mark.parametrize("jt", sorted(_VISITED_SQL))
+def test_streamed_visited_join_types(jt, monkeypatch):
+    sql = _VISITED_SQL[jt]
+    monkeypatch.delenv("DFP_STREAM_THRESHOLD_BYTES", raising=False)
+    plain = _skewed_pydict_ctx().sql(sql).collect().to_pylist()
+    monkeypatch.setenv("DFP_STREAM_THRESHOLD_BYTES", "0")
+    monkeypatch.setenv("DFP_STREAM_CHUNK_ROWS", "2048")
+    handle = _skewed_pydict_ctx().sql(sql)
+    streamed = handle.collect().to_pylist()
+    assert_rows_equal(streamed, plain)
+    assert handle.metrics.streamed_chunks > 1, \
+        f"{jt} did not stream (chunks={handle.metrics.streamed_chunks})"
+
+
+def test_streamed_q13_double_aggregate(tables, monkeypatch):
+    # Q13: LEFT join with residual filter under TWO stacked aggregates — the
+    # merge point is the LOWEST aggregate; the outer one runs at finish
+    plain, streamed, m = _run_both(tables, QUERIES[13], monkeypatch)
+    assert_rows_equal(streamed, plain)
+    assert m.streamed_chunks > 1
+
+
 def test_streamed_join_overflow_retry(tables, monkeypatch):
     # tiny chunk + capacity store disabled: the join inside the chunk
     # program must overflow, grow, and retry the CURRENT chunk only
