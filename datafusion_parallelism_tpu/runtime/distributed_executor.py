@@ -99,8 +99,24 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     """Distributed hash join: shuffle both children (folding any upstream
     late-materialization masks into the routing), then run the single-chip
     vectorized join on the local key range. expanded=True returns
-    (uncompacted table, mask) for downstream fusion."""
-    b, b_mask = _dist_maybe_expanded(node.build, tables, ctx, axis)
+    (uncompacted table, mask) for downstream fusion.
+
+    Streaming composition: a FROZEN build side (ctx.prepared, already
+    shuffled to its key range and table-built once by the stream's prepare
+    program) skips the build execution and shuffle entirely — only the
+    probe chunk moves per launch. A join under ctx.stream_visited executes
+    chunk-wise (probe-linear emission now, build-side emission deferred to
+    the flush pass) with a per-device visited mask over the LOCAL build
+    shard — correct because the frozen build is hash-partitioned, so each
+    build row lives on exactly one device."""
+    prepared = ctx.prepared.get(node.join_id)
+    if node.join_id in ctx.stream_visited:
+        assert prepared is not None, "streamed join requires a frozen build"
+        return _dist_stream_chunk_join(node, prepared, tables, ctx, axis,
+                                       expanded)
+    b_mask = None
+    if prepared is None:
+        b, b_mask = _dist_maybe_expanded(node.build, tables, ctx, axis)
     p, p_mask = _dist_maybe_expanded(node.probe, tables, ctx, axis)
     P_ = lax.psum(1, axis)
 
@@ -117,7 +133,12 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
 
     bdrop = pdrop = jnp.int32(0)
     b_valid = p_valid = None   # masks surviving INTO the local join
-    if node.dist_mode == "broadcast":
+    if prepared is not None:
+        # frozen build (already on its key range): only the probe moves
+        b2 = prepared.build
+        p2, pdrop = shuffle_by_hash(p, node.probe_keys,
+                                    send_cap("ps", p), axis, valid=p_mask)
+    elif node.dist_mode == "broadcast":
         b2 = _all_gather_table(_compact_masked(b, b_mask), axis)
         p2, p_valid = p, p_mask
     elif node.dist_mode == "skew_salted":
@@ -162,6 +183,7 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     result = hash_join(b2, p2, node.build_keys, node.probe_keys,
                        node.join_type, cap, strategy=node.strategy,
                        residual=residual_fn, expanded=expanded,
+                       prepared=prepared,
                        build_valid=b_valid, probe_valid=p_valid)
     if expanded:
         out, mask, total = result
@@ -174,6 +196,57 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     # step returns it per-device (out_specs P(axis)) — no extra collective
     ctx.join_balance[node.join_id] = total
     return (out, mask) if expanded else out
+
+
+def _dist_stream_chunk_join(node: PHashJoin, prepared, tables, ctx, axis,
+                            expanded: bool):
+    """One probe chunk of a build-emitting join under DISTRIBUTED morsel
+    streaming: shuffle the chunk to the frozen build's key range, emit the
+    chunk's probe-linear rows, fold matches into the per-device visited
+    mask over the LOCAL build shard (each key lives on exactly one device,
+    so local visited masks compose exactly). The deferred build-side rows
+    are emitted by the stream's flush pass (runtime/distributed_streaming)."""
+    from ..ops.join import JoinType
+    from ..utils.columnar import null_columns_like
+    assert not expanded   # _expandable_join excludes streamed joins
+    p, p_mask = _dist_maybe_expanded(node.probe, tables, ctx, axis)
+    P_ = lax.psum(1, axis)
+    skey = (node.join_id, "ps")
+    send_cap = ctx.join_caps.get(skey)
+    if send_cap is None:
+        send_cap = min(p.capacity, max(1024, 4 * (p.capacity // max(P_, 1))))
+        ctx.join_caps[skey] = send_cap
+    p2, pdrop = shuffle_by_hash(p, node.probe_keys, send_cap, axis,
+                                valid=p_mask)
+    ctx.join_totals[skey] = pdrop
+    cap = ctx.join_caps.get(node.join_id)
+    if cap is None:
+        cap = max(256, 2 * max(prepared.build.capacity, p2.capacity))
+        ctx.join_caps[node.join_id] = cap
+    residual_fn = None
+    if node.residual is not None:
+        res = node.residual
+        residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
+    chunk_type = PHashJoin._STREAM_CHUNK_TYPE.get(node.join_type)
+    if chunk_type is not None:            # LEFT / FULL
+        out, total, vis = hash_join(
+            prepared.build, p2, node.build_keys, node.probe_keys, chunk_type,
+            cap, strategy=node.strategy, residual=residual_fn,
+            prepared=prepared, return_visited=True)
+    else:                                 # LEFT_SEMI / LEFT_ANTI
+        _, _, total, vis = hash_join(
+            prepared.build, p2, node.build_keys, node.probe_keys,
+            node.join_type, cap, strategy=node.strategy,
+            residual=residual_fn, prepared=prepared, expanded=True,
+            return_visited=True)
+        out = DeviceTable(node.schema, null_columns_like(node.schema, 128),
+                          jnp.int32(0))
+    incoming = ctx.stream_visited[node.join_id]
+    ctx.visited_out[node.join_id] = (vis if incoming is None
+                                     else incoming | vis)
+    ctx.join_totals[node.join_id] = lax.pmax(total, axis)
+    ctx.join_balance[node.join_id] = total
+    return out
 
 
 def _dist_fused_child(node: PAggregate, tables, ctx, axis
@@ -223,6 +296,10 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
             return ctx.materialized[node.join_id]
         return _dist_join(node, tables, ctx, axis)
     if isinstance(node, PAggregate):
+        if node.node_id in ctx.materialized:
+            # streaming finish: the merge-point aggregate's completed result
+            # (sharded by group key) replaces the subtree
+            return ctx.materialized[node.node_id]
         child, row_filter = _dist_fused_child(node, tables, ctx, axis)
         if not node.aggs and node.group_keys:
             # pure dedup (DISTINCT / count-distinct stage 1): co-partition
@@ -299,12 +376,14 @@ class DistributedQueryHandle(QueryHandle):
         raise NotImplementedError("distributed handle returns host tables; "
                                   "use collect()")
 
-    def _shard_inputs(self):
-        """Partition + upload each scan's host table once per handle."""
+    def _shard_inputs(self, skip_labels=()):
+        """Partition + upload each scan's host table once per handle.
+        `skip_labels`: scans left out entirely (streamed in chunks)."""
         Pn = self.mesh.devices.size
         sharded = {}   # label -> (cols, num_rows, schema)
         for node in self.plan.walk():
-            if isinstance(node, PScan) and node.label not in sharded:
+            if isinstance(node, PScan) and node.label not in sharded \
+                    and node.label not in skip_labels:
                 host = self.catalog.get(node.table_name).host
                 renamed = HostTable(
                     node.schema,
@@ -402,6 +481,26 @@ class DistributedQueryHandle(QueryHandle):
             if len(rows) != 1:
                 raise ValueError(f"scalar subquery returned {len(rows)} rows")
             sv.holder[0] = rows[0][result.schema.fields[0].name]
+
+        # Morsel streaming over the mesh: when the biggest scan's upload
+        # alone breaks the per-device HBM budget and the plan is
+        # stream-decomposable, chunk it through the SPMD plan instead of
+        # sharding it resident (streaming x distribution composed —
+        # BASELINE config #5's shape)
+        import os
+        if not os.environ.get("DFP_NO_STREAM") \
+                and jax.process_count() == 1:
+            from .streaming import plan_stream, stream_upload_bytes
+            sp = plan_stream(self.plan, self.catalog)
+            if sp is not None:
+                live = self._live_columns().get(sp.scan.table_name)
+                threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
+                                               6 << 30))
+                if stream_upload_bytes(self.catalog, sp, live) > threshold:
+                    from ..models.physical import find_adaptive
+                    from .distributed_streaming import run_streamed_dist
+                    return run_streamed_dist(self, sp, live,
+                                             find_adaptive(self.plan))
 
         if self._sharded_inputs is None:
             self._sharded_inputs = self._shard_inputs()

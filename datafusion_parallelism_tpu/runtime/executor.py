@@ -43,6 +43,9 @@ class ExecutorMetrics:
         self.comm_bytes = 0
         self.balance: Dict[int, list] = {}
         self.stage_bytes: list = []
+        # distributed streaming: host pack/upload vs device compute windows
+        # per chunk — the shuffle/compute-overlap evidence
+        self.stream_timeline: list = []
 
 
 def _maybe_dump_hlo(lowered, tag: str):
