@@ -293,9 +293,12 @@ class ChooseDistModeRule:
     analog of the reference's broadcast-join threshold (its benchmark sizes
     tables 'above the maximum threshold for broadcast joins',
     benches/my_benchmark.rs:159) plus the salted-skew substitute for work
-    stealing. Probe-driven join types only (INNER/RIGHT/RIGHT_SEMI/
-    RIGHT_ANTI): replicated build rows would double-count LEFT*/FULL
-    unmatched output."""
+    stealing. BROADCAST covers all 8 join types: build-emitting ones
+    (LEFT*/FULL) dedup their replicated build rows via a mesh-reduced
+    visited mask + owner-partition emission
+    (distributed_executor._broadcast_build_emitting). SALTING stays
+    probe-driven only (replicated build rows under salted routing have no
+    single owner range)."""
 
     PROBE_DRIVEN = ("inner", "right", "right_semi", "right_anti")
 
@@ -308,28 +311,27 @@ class ChooseDistModeRule:
         for node in plan.walk():
             if not isinstance(node, PHashJoin):
                 continue
+            # record the probe hot-key share for EVERY join (LEFT*/FULL
+            # shuffle their probe sides too): when salting is off, the
+            # executor seeds send capacities from it instead of paying a
+            # dropped-row retry under skew
+            node.probe_mcv_share = self._probe_share(node) or 0.0
+            best = _estimate_rows(node.build, self.catalog)
+            if best <= getattr(self.config, "broadcast_threshold", 0):
+                node.dist_mode = "broadcast"
+                continue
             if node.join_type.value not in self.PROBE_DRIVEN:
                 node.dist_mode = "partitioned"
                 continue
-            best = _estimate_rows(node.build, self.catalog)
             salting = getattr(self.config, "skew_salting", None)
-            if best <= getattr(self.config, "broadcast_threshold", 0):
-                node.dist_mode = "broadcast"
-            elif salting or (salting is None and self._probe_is_skewed(node)):
+            if salting or (salting is None and self._probe_is_skewed(node)):
                 node.dist_mode = "skew_salted"
         return plan
 
-    def _probe_is_skewed(self, node: PHashJoin) -> bool:
-        """Automatic salting: fire when hash-routing the probe side would
-        land one key's rows on a single device at >= skew_threshold x the
-        balanced share (hot share * P). The hot share comes from the
-        catalog's cheap per-column histogram (mcv_share_of); a probe key that
-        does not resolve to a base scan column (renamed through expressions)
-        conservatively reports no skew."""
-        P = getattr(self.config, "target_partitions", 1)
-        if P <= 1:
-            return False
-        threshold = getattr(self.config, "skew_threshold", 4.0)
+    def _probe_share(self, node: PHashJoin):
+        """Probe-side hot-key share from the catalog's cheap per-column
+        histogram (mcv_share_of); None when a probe key does not resolve to
+        a base scan column (renamed through expressions)."""
         scans = {n.label: n for n in node.probe.walk() if isinstance(n, PScan)}
         share = None
         for key in node.probe_keys:
@@ -338,10 +340,21 @@ class ChooseDistModeRule:
             # scan schemas carry qualified "label.col" names; the key must
             # resolve to one of them (not a projection-computed column)
             if scan is None or key not in {f.name for f in scan.schema.fields}:
-                return False
+                return None
             s = self.catalog.get(scan.table_name).mcv_share_of(col)
             # composite keys: the hot (k1,k2) pair share <= each column's own
             share = s if share is None else min(share, s)
+        return share
+
+    def _probe_is_skewed(self, node: PHashJoin) -> bool:
+        """Automatic salting: fire when hash-routing the probe side would
+        land one key's rows on a single device at >= skew_threshold x the
+        balanced share (hot share * P)."""
+        P = getattr(self.config, "target_partitions", 1)
+        if P <= 1:
+            return False
+        threshold = getattr(self.config, "skew_threshold", 4.0)
+        share = self._probe_share(node)
         return share is not None and share * P >= threshold
 
 

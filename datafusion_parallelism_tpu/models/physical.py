@@ -181,6 +181,12 @@ class PHashJoin(PhysicalPlan):
     # planner's output-cardinality estimate; seeds the initial capacity so
     # big scale factors don't pay an overflow-retry recompile per join
     est_rows: float = 0.0
+    # probe-side hot-key share (catalog mcv_share_of), recorded by
+    # ChooseDistModeRule (which runs LAST and mutates in place). When
+    # salting is OFF, the distributed shuffle seeds its per-destination
+    # send capacity from this instead of eating a dropped-row retry the
+    # planner could have predicted from the same statistic.
+    probe_mcv_share: float = 0.0
     join_id: int = field(default_factory=lambda: _JOIN_ID.__setitem__(0, _JOIN_ID[0] + 1) or _JOIN_ID[0])
     schema: Schema = None
 

@@ -121,13 +121,22 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     P_ = lax.psum(1, axis)
 
     def send_cap(tag, t):
-        # adaptive per-destination send block: ~4x the balanced share;
-        # dropped-row counts grow it on retry (capped at shard capacity,
-        # which can never drop rows)
+        # adaptive per-destination send block: ~4x the balanced share,
+        # BUMPED by the planner's probe hot-key share when salting is off
+        # (a skewed key lands its whole row mass on one destination — the
+        # same mcv_share_of statistic the salting decision reads predicts
+        # the drop the balanced default would eat). Dropped-row counts grow
+        # it on retry (capped at shard capacity, which can never drop rows).
         key = (node.join_id, tag)
         cap = ctx.join_caps.get(key)
         if cap is None:
-            cap = min(t.capacity, max(1024, 4 * (t.capacity // max(P_, 1))))
+            cap = max(1024, 4 * (t.capacity // max(P_, 1)))
+            share = node.probe_mcv_share if tag == "ps" \
+                and node.dist_mode != "skew_salted" else 0.0
+            if share > 0:
+                cap = max(cap, round_capacity(int(1.3 * share * t.capacity),
+                                              minimum=1024))
+            cap = min(t.capacity, cap)
             ctx.join_caps[key] = cap
         return cap
 
@@ -180,6 +189,12 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     if node.residual is not None:
         res = node.residual
         residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
+    from ..ops.join import JoinType
+    if node.dist_mode == "broadcast" and prepared is None \
+            and node.join_type in (JoinType.LEFT, JoinType.FULL,
+                                   JoinType.LEFT_SEMI, JoinType.LEFT_ANTI):
+        return _broadcast_build_emitting(node, b2, p2, p_valid, cap,
+                                         residual_fn, expanded, ctx, axis)
     result = hash_join(b2, p2, node.build_keys, node.probe_keys,
                        node.join_type, cap, strategy=node.strategy,
                        residual=residual_fn, expanded=expanded,
@@ -198,6 +213,56 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     return (out, mask) if expanded else out
 
 
+def _broadcast_build_emitting(node: PHashJoin, b2, p2, p_valid, cap,
+                              residual_fn, expanded, ctx, axis):
+    """Broadcast-mode BUILD-EMITTING join (LEFT/FULL/LEFT_SEMI/LEFT_ANTI)
+    with OWNER-PARTITION emission: the replicated build probes each device's
+    local (un-shuffled!) probe shard — so a skewed probe key never hot-spots
+    a device — and the double-count hazard of replicated build rows is
+    resolved by (1) OR-reducing the per-device visited masks over the mesh
+    (the replicas are identical, so a psum over the bool mask is the global
+    visited bitset — the reference's shared ConcurrentBitSet, full.rs:77-79,
+    as a collective) and (2) emitting each deferred build row on exactly one
+    OWNER device (row_index mod P). Extends the reference's
+    work-steal-every-join-type coverage (work_stealing_repartition_exec.rs:
+    50-115) to the broadcast path, which round 3 confined to probe-driven
+    types."""
+    from ..ops.join import JoinType
+    from ..utils.columnar import hstack_tables, null_columns_like
+    me = lax.axis_index(axis)
+    P_ = lax.psum(1, axis)
+    chunk_type = PHashJoin._STREAM_CHUNK_TYPE.get(node.join_type)
+    if chunk_type is not None:               # LEFT / FULL: local pairs (+
+        pairs, total, vis = hash_join(       # unmatched local probe for FULL)
+            b2, p2, node.build_keys, node.probe_keys, chunk_type, cap,
+            strategy=node.strategy, residual=residual_fn,
+            probe_valid=p_valid, return_visited=True)
+    else:                                    # LEFT_SEMI / LEFT_ANTI
+        pairs = None
+        _, _, total, vis = hash_join(
+            b2, p2, node.build_keys, node.probe_keys, node.join_type, cap,
+            strategy=node.strategy, residual=residual_fn,
+            probe_valid=p_valid, expanded=True, return_visited=True)
+    vis_global = lax.psum(vis.astype(jnp.int32), axis) > 0
+    owner = (jnp.arange(b2.capacity, dtype=jnp.int32) % P_) == me
+    bin_ = b2.row_mask() & owner
+    ctx.join_totals[node.join_id] = lax.pmax(total, axis)
+    ctx.join_balance[node.join_id] = total
+    if node.join_type is JoinType.LEFT_SEMI:
+        mask = bin_ & vis_global
+        return (b2, mask) if expanded else filter_rows(b2, mask)
+    if node.join_type is JoinType.LEFT_ANTI:
+        mask = bin_ & ~vis_global
+        return (b2, mask) if expanded else filter_rows(b2, mask)
+    assert not expanded                      # LEFT/FULL are not expandable
+    ub = filter_rows(b2, bin_ & ~vis_global)
+    nulls = DeviceTable(p2.schema, null_columns_like(p2.schema, ub.capacity),
+                        ub.num_rows)
+    unmatched = hstack_tables(ub, nulls, ub.num_rows)
+    from ..utils.columnar import concat_tables
+    return concat_tables([pairs, unmatched])
+
+
 def _dist_stream_chunk_join(node: PHashJoin, prepared, tables, ctx, axis,
                             expanded: bool):
     """One probe chunk of a build-emitting join under DISTRIBUTED morsel
@@ -214,7 +279,13 @@ def _dist_stream_chunk_join(node: PHashJoin, prepared, tables, ctx, axis,
     skey = (node.join_id, "ps")
     send_cap = ctx.join_caps.get(skey)
     if send_cap is None:
-        send_cap = min(p.capacity, max(1024, 4 * (p.capacity // max(P_, 1))))
+        send_cap = max(1024, 4 * (p.capacity // max(P_, 1)))
+        if node.probe_mcv_share > 0:   # planner-predicted skew (see
+            send_cap = max(send_cap,   # _dist_join.send_cap)
+                           round_capacity(
+                               int(1.3 * node.probe_mcv_share * p.capacity),
+                               minimum=1024))
+        send_cap = min(p.capacity, send_cap)
         ctx.join_caps[skey] = send_cap
     p2, pdrop = shuffle_by_hash(p, node.probe_keys, send_cap, axis,
                                 valid=p_mask)
