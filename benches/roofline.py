@@ -147,6 +147,19 @@ def register_primitives(il: "Interleaved", rng):
     iota = jnp.arange(N, dtype=jnp.int64)
     il.add("srt", jax.jit(lambda v: jnp.sum(
         jnp.argsort(v, stable=True).astype(jnp.int64) * iota)), ivals)
+    # TWO-key stable sort with an index payload: the EXACT grouping sort
+    # (aggregate.py sorts (zone, key word, iota) — a hash-only single-key
+    # sort silently split colliding groups, so the extra operand is the
+    # price of correctness and the model must carry it)
+    iota32 = jnp.arange(N, dtype=jnp.int32)
+    k2 = jnp.asarray(rng.integers(0, 3, N).astype(np.int32))
+
+    def two_key(a, b):
+        res = jax.lax.sort((a, b, iota32), dimension=0, is_stable=True,
+                           num_keys=2)
+        return jnp.sum(res[2].astype(jnp.int64) * iota)
+
+    il.add("srt2", jax.jit(two_key), k2, ivals)
     v64 = jnp.asarray(rng.integers(0, 1000, N).astype(np.int64))
     il.add("cs", jax.jit(lambda v: jnp.sum(jnp.cumsum(v) * iota)), v64)
 
@@ -161,6 +174,7 @@ def finish_primitives(best) -> dict:
         "rowgather13_ns": max(best["rg13"] - null, 1e-9) / N * 1e9,
         "scatter_ns": max(best["sc"] - null, 1e-9) / N * 1e9,
         "sort4M_s": max(best["srt"] - null, 1e-9),
+        "sort2key4M_s": max(best["srt2"] - null, 1e-9),
         "cumsum4M_s": max(best["cs"] - null, 1e-9),
     }
 
@@ -277,6 +291,7 @@ def main():
     rg = prim["rowgather13_ns"] * 1e-9   # full-width packed rows
     sc = prim["scatter_ns"] * 1e-9
     srt = prim["sort4M_s"]
+    srt2 = prim["sort2key4M_s"]          # exact grouping sort (2 keys)
     cs = prim["cumsum4M_s"]
 
     rows = []
@@ -308,11 +323,12 @@ def main():
     # filter: compaction_indices = stable argsort of the mask (survivors
     # first); one packed row-gather through it — argsort(n) + rowgather13(n)
     report("filter_compact", srt + rg * N)
-    # aggregate: grouping sort(n) + the sorted-row fetch (W=4 packed row:
-    # 3 value slots + validity word — the hash does NOT ride the gather,
-    # boundary detection compares values) + boundary-position compaction
+    # aggregate: EXACT grouping sort (2-key lax.sort — value sort, not
+    # hash; the hash-injective single-key sort silently split colliding
+    # groups and was removed) + the sorted-row fetch (W=4 packed row:
+    # 3 value slots + validity word) + boundary-position compaction
     # (argsort(n)) + the segmented-sum prefix passes (2 aggs + count)
-    report("hash_aggregate", 2 * srt + g4 * N + 3 * cs)
+    report("hash_aggregate", srt2 + srt + g4 * N + 3 * cs)
     # sort: one multi-key sort + full-width row materialization
     report("sort_table_13col", srt + rg * N)
 

@@ -573,6 +573,24 @@ def take_rows_fused(pts: Sequence[PackedTable], indices: jnp.ndarray
     return out
 
 
+_SCRAMBLE_A = 1 << 11
+
+
+def _seq_scramble(n: int):
+    """(A, B) when the stride-scramble applies to an n-index gather whose
+    indices form long MONOTONIC runs (compaction perms). Measured on v5e
+    (4M x W=14 rows): gather cost is NOT fully locality-independent after
+    all — monotonic index vectors run ~1.7x SLOWER than random ones (iota
+    200 ms vs random 120 ms; a compaction perm's two stride-2 runs 185 ms;
+    a random PERMUTATION 120 ms). Visiting the output positions in
+    TRANSPOSED (stride-B) order makes the index stream non-sequential — the
+    gather drops to random speed — and one [W, B, A] transpose restores row
+    order for ~10 ms. Net on the filter op end-to-end: 192 -> 136 ms."""
+    if n >= (1 << 16) and n % _SCRAMBLE_A == 0:
+        return _SCRAMBLE_A, n // _SCRAMBLE_A
+    return None
+
+
 def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
                  out_cap: int) -> Tuple[List[PackedTable], jnp.ndarray]:
     """Compact rows where mask is True to the front of out_cap-capacity
@@ -582,6 +600,11 @@ def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
     (one per-index op instead of two) but measures 1.4x SLOWER on v5e
     (391 vs 272 ms at W=8 over 4M rows — XLA lowers multi-row minor-axis
     scatters poorly), so the scatter+gather idiom stays.
+
+    The compaction gather list is two long MONOTONIC runs (survivors then
+    failers) — the slow index pattern on v5e (_seq_scramble): the gather
+    visits output positions in transposed order and one cheap transpose
+    restores row order. DFP_NO_SCRAMBLE=1 disables (sandwich A/B valve).
 
     Survivors past out_cap drop; the returned n is the TRUE survivor count
     for the caller's overflow check. Validity words of slots past the
@@ -604,12 +627,23 @@ def compact_rows(pts: Sequence[PackedTable], mask: jnp.ndarray,
                            stable=True).astype(jnp.int32)[:out_cap]
     n = jnp.sum(mask, dtype=jnp.int32)
     ok = jnp.arange(out_cap, dtype=jnp.int32) < n
+    sc = None if os.environ.get("DFP_NO_SCRAMBLE") else _seq_scramble(out_cap)
+    if sc is not None:
+        A, B = sc
+        gidx = gidx.reshape(A, B).T.reshape(-1)
     res = []
     for pt in take_rows_fused(list(pts), gidx):
+        packed, f64s = pt.packed, pt.f64s
+        if sc is not None:
+            W = packed.shape[0]
+            packed = packed.reshape(W, B, A).transpose(0, 2, 1) \
+                .reshape(W, out_cap)
+            f64s = {k: v.reshape(B, A).T.reshape(-1)
+                    for k, v in f64s.items()}
         vb = pt.layout.valid_base
-        vw = jnp.where(ok[None, :], pt.packed[vb:], 0)
-        res.append(PackedTable(jnp.concatenate([pt.packed[:vb], vw], axis=0),
-                               pt.f64s, pt.layout))
+        vw = jnp.where(ok[None, :], packed[vb:], 0)
+        res.append(PackedTable(jnp.concatenate([packed[:vb], vw], axis=0),
+                               f64s, pt.layout))
     return res, n
 
 
