@@ -209,10 +209,12 @@ def run_streamed_dist(handle, sp: StreamPlan, live, adaptive):
         if agg_cap is None:
             est = (round_capacity(int(2 * agg.est_groups))
                    if agg.est_groups > 0 else 1 << 16)
+            # 16M ceiling — see runtime/streaming.py: a low ceiling forces
+            # full stream restarts for customer-level group counts at SF100
             agg_cap = max(128, min(est,
                                    round_capacity(max(1024,
                                                       reg.host.num_rows)),
-                                   1 << 22))
+                                   1 << 24))
             handle._caps[agg.node_id] = agg_cap
 
         def make_step():

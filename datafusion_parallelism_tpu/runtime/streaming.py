@@ -250,10 +250,15 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             # covers true undershoot, and the settled capacity persists)
             est = (round_capacity(int(2 * agg.est_groups))
                    if agg.est_groups > 0 else 1 << 16)
+            # 16M ceiling (was 4M): per-customer-level group counts at SF100
+            # are ~15M and a low ceiling guarantees 2-3 FULL stream restarts
+            # (every restart replays every chunk); the overflow restart still
+            # covers genuine undershoot and the deferred shrink + cap store
+            # trim real overshoot after the first run
             agg_cap = max(128, min(est,
                                    round_capacity(max(1024,
                                                       reg.host.num_rows)),
-                                   1 << 22))
+                                   1 << 24))
             handle._caps[agg.node_id] = agg_cap
 
         chunk_schema, chunk_layout, _, _, _ = _chunk_arrays(
