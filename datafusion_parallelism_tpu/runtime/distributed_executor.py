@@ -372,18 +372,39 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
             # (sharded by group key) replaces the subtree
             return ctx.materialized[node.node_id]
         child, row_filter = _dist_fused_child(node, tables, ctx, axis)
+        # ADAPTIVE per-device group capacity, seeded from the planner's
+        # group estimate. Defaulting to child.capacity made the merge stage
+        # receive P x child_capacity rows per device — at SF1 x 8 devices
+        # that is an 8M-row multi-operand sort per virtual device and tens
+        # of GB of temps (the whole-host OOM on the CPU mesh). Overflow
+        # (true per-device group count > capacity) reports through
+        # join_totals and retries like every other adaptive capacity.
+        acap = ctx.join_caps.get(node.node_id)
+        if acap is None:
+            if node.est_groups > 0:
+                acap = max(128, min(round_capacity(int(2 * node.est_groups),
+                                                   minimum=128),
+                                    child.capacity))
+            else:
+                acap = min(child.capacity, max(1024, child.capacity // 4))
+            ctx.join_caps[node.node_id] = acap
         if not node.aggs and node.group_keys:
-            # pure dedup (DISTINCT / count-distinct stage 1): co-partition
-            # then local dedup — keys live on exactly one device. The fused
-            # mask folds into the shuffle routing.
-            shuffled, _ = shuffle_by_hash(child, node.group_keys,
-                                          child.capacity, axis,
-                                          valid=row_filter)
+            # pure dedup (DISTINCT / count-distinct stage 1): local dedup
+            # FIRST (bounds the shuffle to acap rows), then co-partition and
+            # dedup again — keys live on exactly one device. The fused mask
+            # folds into the first dedup's row filter.
+            local, dtotal = hash_aggregate_counted(child, node.group_keys,
+                                                   [], acap,
+                                                   row_filter=row_filter)
+            ctx.join_totals[node.node_id] = lax.pmax(dtotal, axis)
+            shuffled, _ = shuffle_by_hash(local, node.group_keys,
+                                          acap, axis)
             return hash_aggregate(shuffled, node.group_keys, [])
         partial_specs, merge_specs, finishers = decompose_for_partial(node.aggs)
-        partial, _ = hash_aggregate_counted(child, node.group_keys,
-                                            partial_specs,
-                                            row_filter=row_filter)
+        partial, ptotal = hash_aggregate_counted(child, node.group_keys,
+                                                 partial_specs, acap,
+                                                 row_filter=row_filter)
+        ctx.join_totals[node.node_id] = lax.pmax(ptotal, axis)
         if node.group_keys:
             shuffled, _ = shuffle_by_hash(partial, node.group_keys,
                                           partial.capacity, axis)
@@ -584,10 +605,13 @@ class DistributedQueryHandle(QueryHandle):
         if self._use_staged(joins, leaf_cols):
             return self._collect_staged(labels, leaf_cols, leaf_rows, schemas,
                                         multiproc, joins, root_sort, local_ids)
-        # per join: candidate total + build/probe shuffle dropped-row counts
+        # per join: candidate total + build/probe shuffle dropped-row counts;
+        # per aggregate: the per-device group-count total (adaptive capacity)
         keys = []
         for j in joins:
             keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+        keys += [n.node_id for n in self.plan.walk()
+                 if isinstance(n, PAggregate)]
         jids = [j.join_id for j in joins]
         plan, axis = self.plan, self.axis
 
@@ -696,6 +720,8 @@ class DistributedQueryHandle(QueryHandle):
             keys = []
             for j in sub_joins:
                 keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+            keys += [m.node_id for m in node.walk()
+                     if isinstance(m, PAggregate)]
             jids = [j.join_id for j in sub_joins]
             sub_ids = {k for k in keys}
             is_root = not materialize

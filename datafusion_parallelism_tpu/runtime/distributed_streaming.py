@@ -133,6 +133,8 @@ def run_streamed_dist(handle, sp: StreamPlan, live, adaptive):
     prep_keys = [k for jid in prep_join_ids
                  for k in (jid, (jid, "bs"), (jid, "ps"))]
     prep_keys += [(jid, "bs") for jid in pids]
+    prep_keys += [k for k, n in adaptive
+                  if id(n) in prep_nodes and not isinstance(n, PHashJoin)]
     # adaptive keys inside the chunk program: path joins (candidate caps +
     # probe-chunk shuffle drops) and any filter/agg nodes on the path
     sub_keys = [k for jid in pids for k in (jid, (jid, "ps"))]
