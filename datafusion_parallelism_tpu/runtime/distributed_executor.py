@@ -588,7 +588,11 @@ class DistributedQueryHandle(QueryHandle):
                 live = self._live_columns().get(sp.scan.table_name)
                 threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
                                                6 << 30))
-                if stream_upload_bytes(self.catalog, sp, live) > threshold:
+                row_threshold = int(os.environ.get(
+                    "DFP_STREAM_ROW_THRESHOLD", 1 << 26))
+                if (stream_upload_bytes(self.catalog, sp, live) > threshold
+                        or self.catalog.get(sp.scan.table_name).host.num_rows
+                        > row_threshold):
                     from ..models.physical import find_adaptive
                     from .distributed_streaming import run_streamed_dist
                     return run_streamed_dist(self, sp, live,

@@ -234,7 +234,15 @@ class QueryHandle:
                 # resident), so prefer in-memory whenever the table fits.
                 threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
                                                6 << 30))
-                if stream_upload_bytes(self.catalog, sp, live) > threshold:
+                # row-count trigger besides the upload-bytes one: a >64M-row
+                # probe OOMs on its per-launch join packs/gather temps even
+                # when its (narrow) upload is small — SF100 Q22's orders is
+                # 150M rows x 1 live column (0.75 GB upload, resident OOM)
+                row_threshold = int(os.environ.get(
+                    "DFP_STREAM_ROW_THRESHOLD", 1 << 26))
+                reg = self.catalog.get(sp.scan.table_name)
+                if (stream_upload_bytes(self.catalog, sp, live) > threshold
+                        or reg.host.num_rows > row_threshold):
                     resident = self._leaf_tables(
                         skip_labels=(sp.scan.label,))
                     return run_streamed(self, sp, resident, live, adaptive)
@@ -250,12 +258,17 @@ class QueryHandle:
                 raise
             self._compiled = None
             self._staged_compiled.clear()
-            # drop this handle's resident uploads so streaming starts with
-            # free HBM (keep other tables: the streamed plan re-requests them)
-            reg = self.catalog.get(sp.scan.table_name)
-            reg._device = None
-            if hasattr(reg, "_device_subsets"):
-                reg._device_subsets.clear()
+            # drop EVERY registration's device cache so streaming starts
+            # with free HBM — releasing only the streamed table left enough
+            # resident/fragmented buffers after a hard OOM abort that the
+            # streamed retry OOM'd allocating its (tiny) accumulator
+            # (observed: SF100 Q22); streaming re-requests what it needs
+            for node in self.plan.walk():
+                if isinstance(node, PScan):
+                    reg = self.catalog.get(node.table_name)
+                    reg._device = None
+                    if hasattr(reg, "_device_subsets"):
+                        reg._device_subsets.clear()
             live = self._live_columns().get(sp.scan.table_name)
             resident = self._leaf_tables(skip_labels=(sp.scan.label,))
             return run_streamed(self, sp, resident, live, adaptive)

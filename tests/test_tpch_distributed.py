@@ -44,3 +44,17 @@ def test_tpch_distributed(dataset, q):
     actual = ctx.sql(QUERIES[q]).collect().to_pylist()
     expected = oracle_query(q, tables)
     assert_rows_equal(actual, expected)
+
+
+# STAGED execution in default CI (VERDICT r3): the multi-join families run
+# through DistributedQueryHandle._collect_staged — one shard_map program per
+# join stage, results resident as sharded stage arguments — not just the
+# whole-plan path the threshold would pick at this scale.
+@pytest.mark.parametrize("q", [3, 5, 9, 10])
+def test_tpch_distributed_staged(dataset, q, monkeypatch):
+    monkeypatch.setenv("DFP_DIST_STAGED", "1")
+    ctx, tables = dataset
+    h = ctx.sql(QUERIES[q])
+    actual = h.collect().to_pylist()
+    assert h.metrics.stage_bytes, "staged path did not engage"
+    assert_rows_equal(actual, oracle_query(q, tables))
