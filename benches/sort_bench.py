@@ -18,6 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import datafusion_parallelism_tpu  # noqa: F401 — re-applies JAX_PLATFORMS
+# (the axon sitecustomize sets jax_platforms programmatically, so the env
+# var alone is silently ignored; every other bench gets this via its
+# package imports — without it, JAX_PLATFORMS=cpu still dials the TPU
+# relay and hangs forever if the tunnel is down)
+
 from benches.bench_lib import report, timeit_block
 
 
