@@ -88,6 +88,10 @@ def test_streamed_distributed_visited_semi_anti(monkeypatch):
         "LEFT JOIN orders o ON c.id = o.cust GROUP BY c.grp",
         "SELECT c.grp AS g, COUNT(*) AS cnt FROM custs c WHERE NOT EXISTS "
         "(SELECT 1 FROM orders o WHERE o.cust = c.id) GROUP BY c.grp",
+        # FULL: per-chunk RIGHT emission (pairs + the chunk's own unmatched
+        # probe rows) + deferred unmatched build rows from the flush
+        "SELECT COUNT(*) AS n, SUM(o.v) AS s, MIN(c.grp) AS mg FROM custs c "
+        "FULL JOIN orders o ON c.id = o.cust",
     ]:
         monkeypatch.setenv("DFP_STREAM_THRESHOLD_BYTES", str(1 << 60))
         plain = mk(1).sql(sql).collect().to_pylist()
