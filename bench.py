@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -88,7 +89,58 @@ def tpu_rows_per_s() -> float:
     return ITERS * 2 * N_ROWS / dt
 
 
+def _roofline_fields(line):
+    """Attach measured/roofline ratios for the flagship join (<=1.3x target)
+    from the committed interleaved-min artifact (benches/roofline.py ->
+    results/roofline.json)."""
+    roof_path = os.path.join(os.path.dirname(__file__), "results",
+                             "roofline.json")
+    if os.path.exists(roof_path):
+        with open(roof_path) as f:
+            ops = {o["op"]: o["ratio"] for o in json.load(f)["operators"]}
+        if "inner_join_13col" in ops:
+            line["roofline_ratio"] = round(ops["inner_join_13col"], 3)
+        if ops:
+            line["roofline_ratio_max"] = round(max(ops.values()), 3)
+    return line
+
+
+def _measure_guarded():
+    """Run the TPU measurement in a subprocess under a hard timeout, with
+    bounded retries.
+
+    The observed failure mode of the relay-backed TPU is a HANG in backend
+    init (not an exception), so an in-process try/except cannot bound it;
+    a child process + timeout can. Three attempts with backoff; returns
+    (value, None) or (None, error_string)."""
+    attempts, backoff = 3, 30.0
+    last_err = "unknown"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_child"],
+                capture_output=True, text=True, timeout=900)
+            for ln in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    d = json.loads(ln)
+                except ValueError:
+                    continue
+                if "value" in d:
+                    return d["value"], None
+            last_err = ("rc=%d stderr_tail=%r"
+                        % (proc.returncode, proc.stderr[-400:]))
+        except subprocess.TimeoutExpired:
+            last_err = "timeout after 900s (backend init hang or relay down)"
+        if i + 1 < attempts:
+            time.sleep(backoff)
+            backoff *= 2
+    return None, last_err
+
+
 def main():
+    if "--_child" in sys.argv:
+        print(json.dumps({"value": tpu_rows_per_s()}))
+        return 0
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
             baseline = json.load(f)["cpu_join_rows_per_s"]
@@ -99,27 +151,27 @@ def main():
                        "scenario": "Size512 uniform-int inner join, "
                                    "numpy sort+searchsorted on host CPU"},
                       f, indent=2)
-    value = tpu_rows_per_s()
-    line = {
-        "metric": "hash_join_build_probe_throughput_size512",
-        "value": round(value, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(value / baseline, 3),
-    }
-    # the metric BASELINE.json actually targets: measured/roofline for the
-    # flagship join (<=1.3x target), from the committed interleaved-min
-    # artifact (benches/roofline.py -> results/roofline.json). vs_baseline
-    # stays as the cross-machine sanity anchor.
-    roof_path = os.path.join(os.path.dirname(__file__), "results",
-                             "roofline.json")
-    if os.path.exists(roof_path):
-        with open(roof_path) as f:
-            ops = {o["op"]: o["ratio"] for o in json.load(f)["operators"]}
-        if "inner_join_13col" in ops:
-            line["roofline_ratio"] = round(ops["inner_join_13col"], 3)
-        if ops:
-            line["roofline_ratio_max"] = round(max(ops.values()), 3)
-    print(json.dumps(line))
+    value, err = _measure_guarded()
+    if value is not None:
+        line = {
+            "metric": "hash_join_build_probe_throughput_size512",
+            "value": round(value, 1),
+            "unit": "rows/s",
+            "vs_baseline": round(value / baseline, 3),
+        }
+    else:
+        # Never leave the driver with nothing parseable: report the failure
+        # plus the last committed evidence (roofline ratios below).
+        line = {
+            "metric": "hash_join_build_probe_throughput_size512",
+            "value": None,
+            "unit": "rows/s",
+            "vs_baseline": None,
+            "error": err,
+            "last_committed_rows_per_s": 19831792.4,  # BENCH_r03.json
+        }
+    print(json.dumps(_roofline_fields(line)))
+    return 0
 
 
 if __name__ == "__main__":

@@ -381,7 +381,9 @@ def execute_dist(node: PhysicalPlan, tables: Dict[str, DeviceTable],
         # join_totals and retries like every other adaptive capacity.
         acap = ctx.join_caps.get(node.node_id)
         if acap is None:
-            if node.est_groups > 0:
+            if not node.group_keys:
+                acap = 128      # global aggregate: one output row
+            elif node.est_groups > 0:
                 acap = max(128, min(round_capacity(int(2 * node.est_groups),
                                                    minimum=128),
                                     child.capacity))
@@ -583,20 +585,33 @@ class DistributedQueryHandle(QueryHandle):
         if not os.environ.get("DFP_NO_STREAM") \
                 and jax.process_count() == 1:
             from .streaming import plan_stream, stream_upload_bytes
-            sp = plan_stream(self.plan, self.catalog)
-            if sp is not None:
-                live = self._live_columns().get(sp.scan.table_name)
+            scans = [n for n in self.plan.walk() if isinstance(n, PScan)]
+            need_stream = False
+            if scans:
+                big = max(scans, key=lambda s:
+                          self.catalog.get(s.table_name).host.num_rows)
+                live_big = self._live_columns().get(big.table_name)
                 threshold = int(os.environ.get("DFP_STREAM_THRESHOLD_BYTES",
                                                6 << 30))
                 row_threshold = int(os.environ.get(
                     "DFP_STREAM_ROW_THRESHOLD", 1 << 26))
-                if (stream_upload_bytes(self.catalog, sp, live) > threshold
-                        or self.catalog.get(sp.scan.table_name).host.num_rows
-                        > row_threshold):
-                    from ..models.physical import find_adaptive
-                    from .distributed_streaming import run_streamed_dist
-                    return run_streamed_dist(self, sp, live,
-                                             find_adaptive(self.plan))
+                need_stream = (stream_upload_bytes(self.catalog,
+                                                   big.table_name, live_big)
+                               > threshold
+                               or self.catalog.get(big.table_name)
+                               .host.num_rows > row_threshold)
+            sp = plan_stream(self.plan, self.catalog)
+            if sp is None and need_stream:
+                # side-swap rule: see runtime/executor.py — only fires when
+                # streaming is required, because it undoes the cost-based
+                # build-side choice
+                sp = plan_stream(self.plan, self.catalog, allow_swap=True)
+            if sp is not None and need_stream:
+                live = self._live_columns().get(sp.scan.table_name)
+                from ..models.physical import find_adaptive
+                from .distributed_streaming import run_streamed_dist
+                return run_streamed_dist(self, sp, live,
+                                         find_adaptive(self.plan))
 
         if self._sharded_inputs is None:
             self._sharded_inputs = self._shard_inputs()
@@ -614,8 +629,11 @@ class DistributedQueryHandle(QueryHandle):
         keys = []
         for j in joins:
             keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+        # global (no-group-key) aggregates have a fixed 1-row total; listing
+        # them would deferred-shrink their seeded capacity 64x per collect
+        # and force needless warm recompiles (cache keys on _caps)
         keys += [n.node_id for n in self.plan.walk()
-                 if isinstance(n, PAggregate)]
+                 if isinstance(n, PAggregate) and n.group_keys]
         jids = [j.join_id for j in joins]
         plan, axis = self.plan, self.axis
 
@@ -725,7 +743,7 @@ class DistributedQueryHandle(QueryHandle):
             for j in sub_joins:
                 keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
             keys += [m.node_id for m in node.walk()
-                     if isinstance(m, PAggregate)]
+                     if isinstance(m, PAggregate) and m.group_keys]
             jids = [j.join_id for j in sub_joins]
             sub_ids = {k for k in keys}
             is_root = not materialize

@@ -312,7 +312,8 @@ def run_streamed_dist(handle, sp: StreamPlan, live, adaptive):
             handle.metrics.streamed_chunks += 1
             return True, mt
 
-        chunk_comm = [0]
+        chunk_comm = [0]       # per-chunk bytes of the CURRENT executable
+        dispatched_comm = [0]  # accumulated over every dispatched launch
 
         def dispatch(idx, state, chunk_cols, chunk_rows_):
             nonlocal compiled, caps
@@ -332,6 +333,10 @@ def run_streamed_dist(handle, sp: StreamPlan, live, adaptive):
                 handle.metrics.compile_time_s += time.time() - t0
             outs = compiled(leaf_cols, leaf_rows, chunk_cols, chunk_rows_,
                             acc_cols, acc_rows, vis_list, prepared_global)
+            # accumulate per DISPATCHED launch (retries included) with the
+            # bytes captured for the executable that actually ran — a
+            # mid-stream overflow recompile changes the per-chunk volume
+            dispatched_comm[0] += chunk_comm[0]
             timeline.append({"event": "dispatch", "chunk": idx, "t": now()})
             return (idx, state, outs)
 
@@ -470,8 +475,7 @@ def run_streamed_dist(handle, sp: StreamPlan, live, adaptive):
             continue
 
         handle.metrics.join_caps = dict(handle._caps)
-        handle.metrics.comm_bytes = (total_comm + chunk_comm[0]
-                                     * max(1, handle.metrics.streamed_chunks))
+        handle.metrics.comm_bytes = total_comm + dispatched_comm[0]
 
         # ---- finish: merge accumulator shards, run the head --------------
         head_nodes = [(kk, n) for kk, n in adaptive

@@ -223,9 +223,17 @@ class QueryHandle:
         if not os.environ.get("DFP_NO_STREAM"):
             from .streaming import (plan_stream, run_streamed,
                                     stream_upload_bytes)
-            sp = plan_stream(self.plan, self.catalog)
-            if sp is not None:
-                live = self._live_columns().get(sp.scan.table_name)
+            # the stream TRIGGER is decided from the biggest scan directly
+            # (the same candidate plan_stream picks), so that the build/
+            # probe side-swap — which undoes the planner's cost-based
+            # build-side choice and must not fire for resident-sized runs —
+            # can be attempted exactly when streaming is required
+            scans = [n for n in self.plan.walk() if isinstance(n, PScan)]
+            need_stream = False
+            if scans:
+                big = max(scans, key=lambda s:
+                          self.catalog.get(s.table_name).host.num_rows)
+                live_big = self._live_columns().get(big.table_name)
                 # default: stream only when the scan's upload alone exceeds
                 # 6 GB. v5e HBM is 15.75 GB and the single-program path needs
                 # ~2-3x the table for packs/sorts/gather temps, so 6 GB is the
@@ -240,12 +248,23 @@ class QueryHandle:
                 # 150M rows x 1 live column (0.75 GB upload, resident OOM)
                 row_threshold = int(os.environ.get(
                     "DFP_STREAM_ROW_THRESHOLD", 1 << 26))
-                reg = self.catalog.get(sp.scan.table_name)
-                if (stream_upload_bytes(self.catalog, sp, live) > threshold
-                        or reg.host.num_rows > row_threshold):
-                    resident = self._leaf_tables(
-                        skip_labels=(sp.scan.label,))
-                    return run_streamed(self, sp, resident, live, adaptive)
+                reg_big = self.catalog.get(big.table_name)
+                need_stream = (stream_upload_bytes(self.catalog,
+                                                   big.table_name, live_big)
+                               > threshold
+                               or reg_big.host.num_rows > row_threshold)
+            sp = plan_stream(self.plan, self.catalog)
+            if sp is None and need_stream:
+                # side-swap rule: flip joins whose BUILD side carries the
+                # stream candidate so the big table probes (unlocks Q8/Q9/
+                # Q12-shaped plans where a filtered small side made lineitem
+                # the cost-based build side)
+                sp = plan_stream(self.plan, self.catalog, allow_swap=True)
+            if sp is not None and need_stream:
+                live = self._live_columns().get(sp.scan.table_name)
+                resident = self._leaf_tables(
+                    skip_labels=(sp.scan.label,))
+                return run_streamed(self, sp, resident, live, adaptive)
 
         try:
             return self._run_resident(adaptive)
@@ -254,6 +273,11 @@ class QueryHandle:
             # one exists (the relay's compile error doesn't carry the OOM
             # detail, so any runtime error on a streamable plan retries
             # streamed; a genuine failure fails there too and propagates)
+            if sp is None and not os.environ.get("DFP_NO_STREAM"):
+                from .streaming import plan_stream
+                # resident OOM'd: the side-swap is now justified even if the
+                # size trigger didn't fire
+                sp = plan_stream(self.plan, self.catalog, allow_swap=True)
             if sp is None:
                 raise
             self._compiled = None

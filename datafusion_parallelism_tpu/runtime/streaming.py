@@ -92,48 +92,119 @@ def _path_to(node: PhysicalPlan, scan: PScan) -> Optional[List[PhysicalPlan]]:
     return None
 
 
-def plan_stream(plan: PhysicalPlan, catalog) -> Optional[StreamPlan]:
+def _swap_join(j: PHashJoin) -> None:
+    """In-place build/probe side swap. Every join type remaps under a swap
+    (INNER/FULL are symmetric; LEFT<->RIGHT families mirror — the same flip
+    the planner's statistics-driven build-side choice uses, and the move the
+    reference makes when its statistics steer build-side selection,
+    reference src/lib.rs:519-547). join_id is preserved (executor capacities
+    key on it); side-specific statistics seeds are reset — an undershoot
+    costs one grow-retry, a stale seed can cost HBM."""
+    from ..models.planner import _flip_join_type
+    j.build, j.probe = j.probe, j.build
+    j.build_keys, j.probe_keys = j.probe_keys, j.build_keys
+    j.join_type = _flip_join_type(j.join_type)
+    j.probe_mcv_share = 0.0
+    j.dist_mode = "partitioned"
+    j.__post_init__()
+
+
+def plan_stream(plan: PhysicalPlan, catalog,
+                allow_swap: bool = False) -> Optional[StreamPlan]:
+    return plan_stream_ex(plan, catalog, allow_swap)[0]
+
+
+def plan_stream_ex(plan: PhysicalPlan, catalog, allow_swap: bool = False):
+    """-> (StreamPlan | None, rejection_reason | None).
+
+    The single source of truth for out-of-core eligibility (the committed
+    eligibility report renders these reasons verbatim). With
+    `allow_swap=True`, a join on the stream path whose BUILD subtree
+    carries the stream candidate is side-swapped IN PLACE (`_swap_join`) so
+    the big table probes a frozen build — only call it when streaming has
+    been decided (the swap undoes the planner's cost-based build-side
+    choice, which is right for resident execution). Swaps are rolled back
+    if a later check rejects the plan."""
     scans = [n for n in plan.walk() if isinstance(n, PScan)]
     if not scans:
-        return None
+        return None, "no scans"
     scan = max(scans, key=lambda s: catalog.get(s.table_name).host.num_rows)
     # the streamed TABLE must be scanned exactly once in the whole plan:
     # a second scan of it (self-join) would still have to be resident
-    if sum(1 for n in plan.walk()
-           if isinstance(n, PScan) and n.table_name == scan.table_name) != 1:
-        return None
+    n_scans = sum(1 for n in plan.walk()
+                  if isinstance(n, PScan) and n.table_name == scan.table_name)
+    if n_scans != 1:
+        return None, (f"{scan.table_name} scanned {n_scans}x (self-join): "
+                      "every scan would have to be resident; chunking one "
+                      "leaves the others whole")
     path = _path_to(plan, scan)
     aggs_on_path = [n for n in path if isinstance(n, PAggregate)]
     if not aggs_on_path:
-        return None
+        return None, ("no aggregate above the scan: the output is row-shaped "
+                      "in the streamed table, so there is no bounded merge "
+                      "point to fold chunks into")
     agg = aggs_on_path[-1]      # LOWEST aggregate above the scan: the merge
     # point. Everything above it (outer aggregates, joins, sorts — Q13)
     # executes once on the merged result at finish time.
-    if any(a.func not in ("sum", "count", "count_star", "min", "max", "avg")
-           for a in agg.aggs):
-        return None    # not decomposable into partial + merge
-    sub = path[path.index(agg) + 1:]       # agg.child .. scan, outermost 1st
+    bad = [a.func for a in agg.aggs
+           if a.func not in ("sum", "count", "count_star", "min", "max",
+                             "avg")]
+    if bad:
+        return None, f"non-decomposable aggregates at merge point: {bad}"
+    # identity scan, not path.index(agg): dataclass __eq__ recurses over
+    # whole subtrees (O(plan) per element) and correctness would rest on
+    # node_id uniqueness rather than object identity
+    agg_pos = next(i for i, n in enumerate(path) if n is agg)
+    sub = path[agg_pos + 1:]               # agg.child .. scan, outermost 1st
     visited_joins: List[PHashJoin] = []
+    swapped: List[PHashJoin] = []
+
+    def reject(reason):
+        for j in swapped:       # _swap_join is an involution
+            _swap_join(j)
+        return None, reason
+
     for i, node in enumerate(sub[:-1]):
         if isinstance(node, (PFilter, PProject)):
             continue
         if isinstance(node, PHashJoin):
             nxt = sub[i + 1]
             if not any(m is nxt for m in node.probe.walk()):
-                return None      # stream side must be the probe side
+                # stream side must be the probe side (the lookup table must
+                # be frozen before any probe batch flows)
+                if not allow_swap:
+                    return reject(
+                        f"{scan.table_name} is the BUILD side of a "
+                        f"{node.join_type.value} join: the lookup table "
+                        "must be frozen before any probe batch flows")
+                _swap_join(node)
+                swapped.append(node)
             if node.join_type in _VISITED_JOIN_TYPES:
                 visited_joins.append(node)
             elif node.join_type not in _LINEAR_JOIN_TYPES:
-                return None
+                return reject(f"join type {node.join_type.value} on the "
+                              "stream path is neither probe-linear nor "
+                              "visited-streamable")
             continue
-        # PAggregate / PSort / PLimit between the scan and the merge point
-        return None
+        if isinstance(node, PAggregate):
+            return reject("a second aggregate sits between the scan and the "
+                          "merge point")
+        # PSort / PLimit between the scan and the merge point
+        return reject(f"{node.__class__.__name__} between the scan and the "
+                      "merge point is not row-decomposable")
+    if swapped:
+        # a swap reorders the join's output columns; recompute every
+        # ancestor schema bottom-up (consumers resolve by NAME, but the
+        # plan-time Schema field order must match what executes)
+        for anc in reversed(path[:-1]):
+            if hasattr(anc, "__post_init__"):
+                anc.__post_init__()
     visited_joins.reverse()                # innermost first = flush order
-    return StreamPlan(agg, plan, scan, visited_joins)
+    return StreamPlan(agg, plan, scan, visited_joins), None
 
 
-def stream_upload_bytes(catalog, sp: StreamPlan, live_cols) -> int:
-    reg = catalog.get(sp.scan.table_name)
+def stream_upload_bytes(catalog, table_name: str, live_cols) -> int:
+    reg = catalog.get(table_name)
     cols = live_cols or set(reg.host.schema.names)
     return sum(v.nbytes + valid.nbytes
                for n, (v, valid) in reg.host.columns.items() if n in cols)

@@ -17,10 +17,14 @@ import json
 
 
 def classify(plan, catalog):
-    """-> dict describing stream eligibility of `plan`."""
-    from ..models.physical import PAggregate, PHashJoin, PScan
-    from ..runtime.streaming import (_contains, _path_to, plan_stream,
-                                     _LINEAR_JOIN_TYPES, _VISITED_JOIN_TYPES)
+    """-> dict describing stream eligibility of `plan`.
+
+    plan_stream_ex is the single source of truth for both the decision and
+    the rejection reason (the two previously drifted — round-4 advisor);
+    this only renders its answer, trying the build/probe side-swap before
+    declaring a plan ineligible (the same order the executor uses)."""
+    from ..models.physical import PHashJoin, PScan
+    from ..runtime.streaming import _contains, plan_stream_ex
 
     scans = [n for n in plan.walk() if isinstance(n, PScan)]
     if not scans:
@@ -28,71 +32,22 @@ def classify(plan, catalog):
     scan = max(scans, key=lambda s: catalog.get(s.table_name).host.num_rows)
     info = {"streamed_table": scan.table_name,
             "streamed_rows": catalog.get(scan.table_name).host.num_rows}
-    sp = plan_stream(plan, catalog)
+    sp, reason = plan_stream_ex(plan, catalog)
+    swapped = False
+    if sp is None:
+        sp, _ = plan_stream_ex(plan, catalog, allow_swap=True)
+        swapped = sp is not None
     if sp is not None:
         info["eligible"] = True
+        if swapped:
+            info["via_side_swap"] = True
         info["visited_joins"] = [j.join_type.value for j in sp.visited_joins]
         info["path_join_types"] = [
             n.join_type.value for n in sp.agg.child.walk()
             if isinstance(n, PHashJoin) and _contains(n.probe, sp.scan)]
         return info
-    # diagnose WHY
-    n_scans = sum(1 for n in plan.walk()
-                  if isinstance(n, PScan) and n.table_name == scan.table_name)
-    if n_scans != 1:
-        info["eligible"] = False
-        info["reason"] = (f"{scan.table_name} scanned {n_scans}x "
-                          "(self-join): every scan would have to be "
-                          "resident; chunking one leaves the others whole")
-        return info
-    path = _path_to(plan, scan)
-    aggs = [n for n in path if isinstance(n, PAggregate)]
-    if not aggs:
-        info["eligible"] = False
-        info["reason"] = ("no aggregate above the scan: the output is "
-                          "row-shaped in the streamed table, so there is no "
-                          "bounded merge point to fold chunks into")
-        return info
-    agg = aggs[-1]
-    bad = [a.func for a in agg.aggs
-           if a.func not in ("sum", "count", "count_star", "min", "max",
-                             "avg")]
-    if bad:
-        info["eligible"] = False
-        info["reason"] = f"non-decomposable aggregates at merge point: {bad}"
-        return info
-    sub = path[path.index(agg) + 1:]
-    for i, node in enumerate(sub[:-1]):
-        if isinstance(node, PHashJoin):
-            nxt = sub[i + 1]
-            if not any(m is nxt for m in node.probe.walk()):
-                info["eligible"] = False
-                info["reason"] = (f"{scan.table_name} is the BUILD side of a "
-                                  f"{node.join_type.value} join: the lookup "
-                                  "table must be frozen before any probe "
-                                  "batch flows")
-                return info
-            if node.join_type not in (_LINEAR_JOIN_TYPES
-                                      + _VISITED_JOIN_TYPES):
-                info["eligible"] = False
-                info["reason"] = (f"join type {node.join_type.value} on the "
-                                  "stream path is neither probe-linear nor "
-                                  "visited-streamable")
-                return info
-        elif isinstance(node, PAggregate):
-            info["eligible"] = False
-            info["reason"] = ("a second aggregate sits between the scan and "
-                              "the merge point")
-            return info
-        elif not node.children():
-            break
-        elif node.__class__.__name__ in ("PSort", "PLimit"):
-            info["eligible"] = False
-            info["reason"] = (f"{node.__class__.__name__} between the scan "
-                              "and the merge point is not row-decomposable")
-            return info
     info["eligible"] = False
-    info["reason"] = "plan_stream rejected (unclassified shape)"
+    info["reason"] = reason
     return info
 
 

@@ -51,14 +51,25 @@ def test_tpch_streamed_matches(tables, q, monkeypatch):
     assert m.streamed_chunks > 1, "streaming did not engage / single chunk"
 
 
-@pytest.mark.parametrize("q", [21, 12])
+@pytest.mark.parametrize("q", [21])
 def test_ineligible_falls_back(tables, q, monkeypatch):
-    # Q21 scans lineitem three times (self-joins); Q12 has lineitem as the
-    # (filtered, smaller) BUILD side: neither is probe-linear, so the forced
-    # threshold must fall back to materialized execution silently
+    # Q21 scans lineitem three times (self-joins): chunking one scan leaves
+    # the others whole, so the forced threshold must fall back to
+    # materialized execution silently
     plain, streamed, m = _run_both(tables, QUERIES[q], monkeypatch)
     assert_rows_equal(streamed, plain)
     assert m.streamed_chunks == 0
+
+
+@pytest.mark.parametrize("q", [12, 8, 9])
+def test_side_swap_unlocks_streaming(tables, q, monkeypatch):
+    # These plans put lineitem on a BUILD side (the filtered sibling is
+    # smaller, so the cost-based choice builds lineitem); the side-swap rule
+    # flips the symmetric joins at stream time so lineitem probes — the
+    # statistics-steered build-side move of the reference (lib.rs:519-547)
+    plain, streamed, m = _run_both(tables, QUERIES[q], monkeypatch)
+    assert_rows_equal(streamed, plain)
+    assert m.streamed_chunks > 1, f"Q{q} did not stream via side-swap"
 
 
 def test_streamed_global_aggregate(monkeypatch):
