@@ -264,7 +264,23 @@ class QueryHandle:
                 live = self._live_columns().get(sp.scan.table_name)
                 resident = self._leaf_tables(
                     skip_labels=(sp.scan.label,))
-                return run_streamed(self, sp, resident, live, adaptive)
+                try:
+                    return run_streamed(self, sp, resident, live, adaptive)
+                except jax.errors.JaxRuntimeError:
+                    # the stream's RESIDENT set (frozen builds) broke HBM —
+                    # Q7's unfiltered 150M-row orders⋈customer build.
+                    # Key-hash partitioning bounds every side.
+                    gp = self._plan_grace()
+                    if gp is None:
+                        raise
+                    self._drop_device_caches()
+                    return self._run_grace(gp, adaptive)
+            if sp is None and need_stream:
+                # self-joins of the big table (Q2/Q17/Q18/Q21): no row-range
+                # stream exists; grace-partition every big scan by join key
+                gp = self._plan_grace()
+                if gp is not None:
+                    return self._run_grace(gp, adaptive)
 
         try:
             return self._run_resident(adaptive)
@@ -274,28 +290,57 @@ class QueryHandle:
             # detail, so any runtime error on a streamable plan retries
             # streamed; a genuine failure fails there too and propagates)
             if sp is None and not os.environ.get("DFP_NO_STREAM"):
-                from .streaming import plan_stream
+                from .streaming import plan_stream, run_streamed
                 # resident OOM'd: the side-swap is now justified even if the
                 # size trigger didn't fire
                 sp = plan_stream(self.plan, self.catalog, allow_swap=True)
+                if sp is None:
+                    gp = self._plan_grace()
+                    if gp is not None:
+                        self._drop_device_caches()
+                        return self._run_grace(gp, adaptive)
             if sp is None:
                 raise
-            self._compiled = None
-            self._staged_compiled.clear()
-            # drop EVERY registration's device cache so streaming starts
-            # with free HBM — releasing only the streamed table left enough
-            # resident/fragmented buffers after a hard OOM abort that the
-            # streamed retry OOM'd allocating its (tiny) accumulator
-            # (observed: SF100 Q22); streaming re-requests what it needs
-            for node in self.plan.walk():
-                if isinstance(node, PScan):
-                    reg = self.catalog.get(node.table_name)
-                    reg._device = None
-                    if hasattr(reg, "_device_subsets"):
-                        reg._device_subsets.clear()
+            self._drop_device_caches()
             live = self._live_columns().get(sp.scan.table_name)
             resident = self._leaf_tables(skip_labels=(sp.scan.label,))
-            return run_streamed(self, sp, resident, live, adaptive)
+            try:
+                return run_streamed(self, sp, resident, live, adaptive)
+            except jax.errors.JaxRuntimeError:
+                gp = self._plan_grace()
+                if gp is None:
+                    raise
+                self._drop_device_caches()
+                return self._run_grace(gp, adaptive)
+
+    def _drop_device_caches(self):
+        """Release every registration's cached device buffers so an
+        out-of-core retry starts with free HBM — releasing only the streamed
+        table left enough resident/fragmented buffers after a hard OOM abort
+        that the retry OOM'd allocating its (tiny) accumulator (observed:
+        SF100 Q22)."""
+        self._compiled = None
+        self._staged_compiled.clear()
+        for node in self.plan.walk():
+            if isinstance(node, PScan):
+                reg = self.catalog.get(node.table_name)
+                reg._device = None
+                if hasattr(reg, "_device_subsets"):
+                    reg._device_subsets.clear()
+
+    def _plan_grace(self):
+        import os
+        if os.environ.get("DFP_NO_GRACE"):
+            return None
+        from .grace import plan_grace
+        row_threshold = int(os.environ.get("DFP_STREAM_ROW_THRESHOLD",
+                                           1 << 26))
+        gp, _ = plan_grace(self.plan, self.catalog, row_threshold)
+        return gp
+
+    def _run_grace(self, gp, adaptive):
+        from .grace import run_grace
+        return run_grace(self, gp, adaptive)
 
     def _run_resident(self, adaptive) -> DeviceTable:
         plan = self.plan

@@ -698,11 +698,15 @@ def packed_layout(schema: Schema) -> PackedLayout:
 
 
 def pack_host_slice(t: HostTable, names, lo: int, n: int, cap: int,
-                    rename_prefix: str = ""):
+                    rename_prefix: str = "", rows=None):
     """Numpy mirror of pack_table over host rows [lo, lo+n), padded to `cap`:
     ONE [W, cap] int32 matrix (+ separate f64 columns) so a streamed chunk
     crosses the host->device relay as a single transfer instead of one
     padded upload per column (relay transfers pay fixed per-array overhead).
+
+    `rows` (optional int array, len n): select THESE rows instead of the
+    contiguous [lo, lo+n) range — grace-partitioned streaming packs a
+    key-hash partition, whose row set is scattered across the table.
 
     Returns (schema, layout, packed, f64s); the device side reconstructs the
     chunk with unpack_table (elementwise bit ops, fused for free)."""
@@ -711,11 +715,17 @@ def pack_host_slice(t: HostTable, names, lo: int, n: int, cap: int,
     schema = Schema(fields)
     layout = packed_layout(schema)
     strip = len(rename_prefix)
+
+    def take(arr):
+        if rows is not None:
+            return np.asarray(arr)[rows]
+        return np.asarray(arr[lo:lo + n])
+
     packed = np.zeros((layout.width, cap), np.int32)
     f64s = {}
     for name, kind, slot, nw in layout.fields:
         v, _ = t.columns[name[strip:]]
-        v = np.asarray(v[lo:lo + n])
+        v = take(v)
         if kind is Kind.FLOAT64:
             out = np.zeros(cap, np.float64)
             out[:n] = v
@@ -734,7 +744,7 @@ def pack_host_slice(t: HostTable, names, lo: int, n: int, cap: int,
         word = np.zeros(cap, np.uint32)
         for j in range(w * 32, min((w + 1) * 32, n_fields)):
             _, valid = t.columns[layout.fields[j][0][strip:]]
-            word[:n] |= (np.asarray(valid[lo:lo + n]).astype(np.uint32)
+            word[:n] |= (take(valid).astype(np.uint32)
                          << np.uint32(j - w * 32))
         packed[layout.valid_base + w] = word.view(np.int32)
     return schema, layout, packed, f64s
