@@ -293,12 +293,14 @@ class ChooseDistModeRule:
     analog of the reference's broadcast-join threshold (its benchmark sizes
     tables 'above the maximum threshold for broadcast joins',
     benches/my_benchmark.rs:159) plus the salted-skew substitute for work
-    stealing. BROADCAST covers all 8 join types: build-emitting ones
+    stealing. BROADCAST and SALTED both cover all 8 join types — the
+    reference's work stealing wraps every join type too
+    (use_work_stealing_repartition_rule.rs:14-37). Build-emitting types
     (LEFT*/FULL) dedup their replicated build rows via a mesh-reduced
-    visited mask + owner-partition emission
-    (distributed_executor._broadcast_build_emitting). SALTING stays
-    probe-driven only (replicated build rows under salted routing have no
-    single owner range)."""
+    visited mask + owner-partition emission: over the whole build under
+    broadcast (distributed_executor._broadcast_build_emitting), over
+    exactly the heavy-key block under salting
+    (_salted_build_emitting)."""
 
     PROBE_DRIVEN = ("inner", "right", "right_semi", "right_anti")
 
@@ -319,9 +321,6 @@ class ChooseDistModeRule:
             best = _estimate_rows(node.build, self.catalog)
             if best <= getattr(self.config, "broadcast_threshold", 0):
                 node.dist_mode = "broadcast"
-                continue
-            if node.join_type.value not in self.PROBE_DRIVEN:
-                node.dist_mode = "partitioned"
                 continue
             salting = getattr(self.config, "skew_salting", None)
             if salting or (salting is None and self._probe_is_skewed(node)):

@@ -14,10 +14,13 @@ skew must be resolved at shuffle time (SURVEY.md §2.9):
      so a hot key's probe work spreads over all chips while its build rows
      are available everywhere.
 
-Correct for join types whose output is driven per probe row (INNER, RIGHT,
-RIGHT_SEMI, RIGHT_ANTI). Build-side-emitting types (LEFT*/FULL) would
-double-count replicated unmatched build rows, so the planner keeps those on
-the plain hash shuffle.
+Probe-driven types (INNER, RIGHT, RIGHT_SEMI, RIGHT_ANTI) need nothing
+more: their output is a function of each probe row, and every probe row is
+processed on exactly one device. Build-side-emitting types (LEFT*/FULL)
+would double-count replicated unmatched build rows; they run through
+distributed_executor._salted_build_emitting, which keeps heavy build rows
+in an identical all-gathered block on every device so their visited masks
+OR-reduce positionally and each deferred row is emitted by one owner.
 """
 
 from __future__ import annotations

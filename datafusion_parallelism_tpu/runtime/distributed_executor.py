@@ -140,6 +140,12 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
             ctx.join_caps[key] = cap
         return cap
 
+    from ..ops.join import JoinType as _JT
+    if (node.dist_mode == "skew_salted" and prepared is None
+            and node.join_type in (_JT.LEFT, _JT.FULL, _JT.LEFT_SEMI,
+                                   _JT.LEFT_ANTI)):
+        return _salted_build_emitting(node, b, b_mask, p, p_mask, send_cap,
+                                      ctx, axis, expanded)
     bdrop = pdrop = jnp.int32(0)
     b_valid = p_valid = None   # masks surviving INTO the local join
     if prepared is not None:
@@ -211,6 +217,120 @@ def _dist_join(node: PHashJoin, tables, ctx, axis, expanded: bool = False):
     # step returns it per-device (out_specs P(axis)) — no extra collective
     ctx.join_balance[node.join_id] = total
     return (out, mask) if expanded else out
+
+
+def _salted_build_emitting(node: PHashJoin, b, b_mask, p, p_mask, send_cap,
+                           ctx, axis, expanded):
+    """SKEW_SALTED mode for build-emitting joins (LEFT/FULL/LEFT_SEMI/
+    LEFT_ANTI) — closes the coverage gap the reference doesn't have (its
+    work stealing wraps every join type,
+    use_work_stealing_repartition_rule.rs:14-37).
+
+    Light (non-heavy-bucket) build rows hash-shuffle to their key's owner
+    device; every probe of such a key routes there too, so their visited
+    state is device-local and EXACT. Heavy build rows are compacted and
+    all_gather'd into an IDENTICAL global block on every device (appended at
+    a fixed offset after the light shard — no compaction across the
+    boundary, or per-device row counts would misalign the positions);
+    identical replicas make the per-device visited masks OR-reduce
+    positionally over the mesh, and each deferred heavy row is emitted by
+    exactly one owner (index mod P) — round 4's broadcast owner-dedup
+    applied to only the rows salting actually replicates. Heavy PROBE rows
+    stay local (their work is already spread by the scan partitioning), so
+    a hot key's probe mass never lands on one device."""
+    from ..ops.join import JoinType, hash_join
+    from ..parallel.shuffle import shuffle_by_hash
+    from ..parallel.skew import (build_replication_mask, heavy_buckets,
+                                 key_histogram, salted_route)
+    from ..utils.columnar import (compact_rows, hstack_tables,
+                                  null_columns_like, pack_table,
+                                  unpack_table)
+    me = lax.axis_index(axis)
+    P_ = lax.psum(1, axis)
+    hist = key_histogram(p, node.probe_keys, axis, valid=p_mask)
+    heavy = heavy_buckets(hist)
+    rep = build_replication_mask(b, node.build_keys, heavy, valid=b_mask)
+    in_b = b.row_mask() if b_mask is None else (b.row_mask() & b_mask)
+
+    b_light, bdrop = shuffle_by_hash(b, node.build_keys, send_cap("bs", b),
+                                     axis, valid=in_b & ~rep)
+    hv_key = (node.join_id, "hv")
+    hcap = ctx.join_caps.get(hv_key)
+    if hcap is None:
+        # heavy rows are the hot-key subset: small unless the build is
+        # itself skewed; the dropped-row retry owns the rest
+        hcap = max(1024, round_capacity(b.capacity // 64, minimum=1024))
+        ctx.join_caps[hv_key] = hcap
+    hcap = min(hcap, b.capacity)   # a shard can't hold more than its rows
+    (hpt,), hn = compact_rows([pack_table(b)], in_b & rep, hcap)
+    b_hv_local = unpack_table(hpt, b.schema, jnp.minimum(hn, hcap))
+    hdrop = jnp.maximum(hn - hcap, 0)
+    b_heavy = _all_gather_table(b_hv_local, axis)   # identical on every chip
+    light_cap, heavy_cap = b_light.capacity, b_heavy.capacity
+
+    cols = {}
+    for f in b.schema.fields:
+        lv, lval = b_light.columns[f.name]
+        hv, hval = b_heavy.columns[f.name]
+        cols[f.name] = (jnp.concatenate([lv, hv]),
+                        jnp.concatenate([lval, hval]))
+    b2 = DeviceTable(b.schema, cols, jnp.int32(light_cap + heavy_cap))
+    b2_valid = jnp.concatenate([b_light.row_mask(), b_heavy.row_mask()])
+
+    dest, _ = salted_route(p, node.probe_keys, heavy, axis)
+    p2, pdrop = shuffle_by_hash(p, node.probe_keys, send_cap("ps", p), axis,
+                                dest_override=dest, valid=p_mask)
+    ctx.join_totals[(node.join_id, "bs")] = bdrop
+    ctx.join_totals[(node.join_id, "ps")] = pdrop
+    ctx.join_totals[hv_key] = lax.pmax(hdrop, axis)
+
+    cap = ctx.join_caps.get(node.join_id)
+    if cap is None:
+        if node.est_rows > 0:
+            per_dev = max(1, int(4 * node.est_rows) // max(P_, 1))
+            cap = min(round_capacity(per_dev, minimum=1024),
+                      4 * max(256, b2.capacity, p2.capacity))
+        else:
+            cap = max(256, 2 * max(b2.capacity, p2.capacity))
+        ctx.join_caps[node.join_id] = cap
+    residual_fn = None
+    if node.residual is not None:
+        res = node.residual
+        residual_fn = lambda pair_tbl: res.eval(pair_tbl)[:2]
+
+    chunk_type = PHashJoin._STREAM_CHUNK_TYPE.get(node.join_type)
+    if chunk_type is not None:               # LEFT / FULL: local pairs (+
+        pairs, total, vis = hash_join(       # unmatched local probe: FULL)
+            b2, p2, node.build_keys, node.probe_keys, chunk_type, cap,
+            strategy=node.strategy, residual=residual_fn,
+            build_valid=b2_valid, return_visited=True)
+    else:                                    # LEFT_SEMI / LEFT_ANTI
+        pairs = None
+        _, _, total, vis = hash_join(
+            b2, p2, node.build_keys, node.probe_keys, node.join_type, cap,
+            strategy=node.strategy, residual=residual_fn,
+            build_valid=b2_valid, expanded=True, return_visited=True)
+    vis_l = vis[:light_cap]                            # exact, device-local
+    vis_h = lax.psum(vis[light_cap:].astype(jnp.int32), axis) > 0
+    owner_h = (jnp.arange(heavy_cap, dtype=jnp.int32) % P_) == me
+    emit_in = jnp.concatenate([b_light.row_mask(),
+                               b_heavy.row_mask() & owner_h])
+    vis_all = jnp.concatenate([vis_l, vis_h])
+    ctx.join_totals[node.join_id] = lax.pmax(total, axis)
+    ctx.join_balance[node.join_id] = total
+    if node.join_type is JoinType.LEFT_SEMI:
+        mask = emit_in & vis_all
+        return (b2, mask) if expanded else filter_rows(b2, mask)
+    if node.join_type is JoinType.LEFT_ANTI:
+        mask = emit_in & ~vis_all
+        return (b2, mask) if expanded else filter_rows(b2, mask)
+    assert not expanded                      # LEFT/FULL are not expandable
+    ub = filter_rows(b2, emit_in & ~vis_all)
+    nulls = DeviceTable(p2.schema, null_columns_like(p2.schema, ub.capacity),
+                        ub.num_rows)
+    unmatched = hstack_tables(ub, nulls, ub.num_rows)
+    from ..utils.columnar import concat_tables
+    return concat_tables([pairs, unmatched])
 
 
 def _broadcast_build_emitting(node: PHashJoin, b2, p2, p_valid, cap,
@@ -628,7 +748,8 @@ class DistributedQueryHandle(QueryHandle):
         # per aggregate: the per-device group-count total (adaptive capacity)
         keys = []
         for j in joins:
-            keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+            keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps"),
+                     (j.join_id, "hv")]
         # global (no-group-key) aggregates have a fixed 1-row total; listing
         # them would deferred-shrink their seeded capacity 64x per collect
         # and force needless warm recompiles (cache keys on _caps)
@@ -741,7 +862,8 @@ class DistributedQueryHandle(QueryHandle):
                          and j.join_id not in mats]
             keys = []
             for j in sub_joins:
-                keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps")]
+                keys += [j.join_id, (j.join_id, "bs"), (j.join_id, "ps"),
+                     (j.join_id, "hv")]
             keys += [m.node_id for m in node.walk()
                      if isinstance(m, PAggregate) and m.group_keys]
             jids = [j.join_id for j in sub_joins]

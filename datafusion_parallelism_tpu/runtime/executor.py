@@ -253,6 +253,14 @@ class QueryHandle:
                                                    big.table_name, live_big)
                                > threshold
                                or reg_big.host.num_rows > row_threshold)
+            if need_stream and os.environ.get("DFP_FORCE_GRACE"):
+                # skip the streamed attempt outright: for plans whose
+                # RESIDENT stream set is known to break HBM (Q7's unfiltered
+                # orders⋈customer build) the streamed prepare pays a long
+                # doomed compile before the OOM fallback reaches grace
+                gp = self._plan_grace()
+                if gp is not None:
+                    return self._run_grace(gp, adaptive)
             sp = plan_stream(self.plan, self.catalog)
             if sp is None and need_stream:
                 # side-swap rule: flip joins whose BUILD side carries the
