@@ -657,16 +657,20 @@ class DistributedQueryHandle(QueryHandle):
         return out
 
     def _check_overflow(self, keys, totals) -> bool:
+        from .executor import _debug_retry
         overflow = False
         for k, total in zip(keys, totals):
             if isinstance(k, tuple):
                 if total > 0:  # dropped shuffle rows: double the block
+                    _debug_retry("send", k, None, self._caps[k], total,
+                                 2 * self._caps[k])
                     self._caps[k] = 2 * self._caps[k]
                     overflow = True
                 continue
             cap = self._caps[k]
             fit = round_capacity(max(total, 1), minimum=1024)
             if total > cap:
+                _debug_retry("grow", k, None, cap, total, fit)
                 self._caps[k] = fit
                 overflow = True
             elif cap > 4 * fit:
@@ -804,6 +808,7 @@ class DistributedQueryHandle(QueryHandle):
                 self.metrics.compile_count += 1
                 self.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
+            self.metrics.launches += 1
             ocols, onum, totals, balance = self._compiled(leaf_cols, leaf_rows)
             if multiproc:
                 from ..parallel.multihost import allgather_tree

@@ -377,6 +377,7 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
             handle._caps.update(pcaps)
             handle.metrics.compile_count += 1
             handle.metrics.compile_time_s += time.time() - t0
+            handle.metrics.launches += 1
             prepared, totals = compiled_prep(resident)
             totals = [int(t) for t in totals]
             overflow = False
@@ -526,6 +527,7 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
                 handle._caps.update(scaps)
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
+            handle.metrics.launches += 1
             return compiled(resident, packs, f64s, ns, acc_cols, acc_rows,
                             prepared)
 
@@ -533,6 +535,7 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
         while k < K and not restart:
             t0 = time.time()
             packs, f64s, ns = pack_partition(k)
+            handle.metrics.host_pack_s += time.time() - t0
             # async upload before blocking on the pending partition's
             # scalars: the transfer overlaps partition k-1's compute
             packs, f64s = jax.device_put((packs, f64s))
@@ -602,6 +605,7 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
             handle._caps.update(hcaps)
             handle.metrics.compile_count += 1
             handle.metrics.compile_time_s += time.time() - t0
+            handle.metrics.launches += 1
             out, totals = compiled_fin(acc_cols, acc_rows, resident)
             totals = [int(x) for x in totals]
             overflow = False

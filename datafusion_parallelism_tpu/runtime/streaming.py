@@ -297,6 +297,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             handle.metrics.compile_count += 1
             handle.metrics.compile_time_s += time.time() - t0
             t0 = time.time()
+            handle.metrics.launches += 1
             prepared, totals = compiled_prep(resident)
             totals = [int(t) for t in totals]
             handle.metrics.run_time_s += time.time() - t0
@@ -433,6 +434,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             t0 = time.time()
             _, _, packed, f64s, chunk_n = _chunk_arrays(
                 reg, live_cols, i * chunk_rows, chunk_rows, sp.scan.label)
+            handle.metrics.host_pack_s += time.time() - t0
             chunk_n = jnp.int32(chunk_n)
             # start the async host->device transfer NOW, before blocking on
             # the pending chunk's scalars: the upload (the dominant per-chunk
@@ -461,6 +463,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                 handle._caps.update(caps)
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
+            handle.metrics.launches += 1
             outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
                             acc_rows, vis_list, prepared)
             pending = (i, (acc_cols, acc_rows, vis_list), outs)
@@ -483,6 +486,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                 handle._caps.update(caps)
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
+                handle.metrics.launches += 1
                 outs = compiled(resident, packed, f64s, chunk_n, acc_cols,
                                 acc_rows, vis_list, prepared)
                 pending = (idx, (acc_cols, acc_rows, vis_list), outs)
@@ -536,6 +540,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
                 handle.metrics.compile_count += 1
                 handle.metrics.compile_time_s += time.time() - t0
                 t0 = time.time()
+                handle.metrics.launches += 1
                 outs = compiled_fl(resident, vis_list, acc_cols, acc_rows,
                                    prepared)
                 mt = int(outs[2])
@@ -608,6 +613,7 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             handle._caps.update(hcaps)
             handle.metrics.compile_count += 1
             handle.metrics.compile_time_s += time.time() - t0
+            handle.metrics.launches += 1
             out, totals = compiled_fin(acc_cols, acc_rows, resident)
             totals = [int(x) for x in totals]
             overflow = False

@@ -46,8 +46,22 @@ def classify(plan, catalog):
             n.join_type.value for n in sp.agg.child.walk()
             if isinstance(n, PHashJoin) and _contains(n.probe, sp.scan)]
         return info
+    # no row-range stream: grace-partitioning (key-hash partition every big
+    # scan) covers the self-join / two-huge-table shapes
+    import os
+    from ..runtime.grace import plan_grace
+    row_threshold = int(os.environ.get("DFP_STREAM_ROW_THRESHOLD", 1 << 26))
+    gp, greason = plan_grace(plan, catalog, row_threshold)
+    if gp is not None:
+        info["eligible"] = True
+        info["via_grace"] = True
+        info["merge"] = "aggregate" if gp.merge_is_agg else "row-union"
+        info["partition_columns"] = {
+            label: f"{s.table_name}.{c}" for label, (s, c) in gp.parts.items()}
+        return info
     info["eligible"] = False
     info["reason"] = reason
+    info["grace_reason"] = greason
     return info
 
 
