@@ -274,10 +274,12 @@ class QueryHandle:
                 # the cost-based build side)
                 sp = plan_stream(self.plan, self.catalog, allow_swap=True)
             if sp is not None and need_stream:
-                live = self._live_columns().get(sp.scan.table_name)
-                resident = self._leaf_tables(
-                    skip_labels=(sp.scan.label,))
                 try:
+                    # the leaf upload itself can OOM (a 150M-row resident
+                    # sibling), so it sits INSIDE the fallback scope
+                    live = self._live_columns().get(sp.scan.table_name)
+                    resident = self._leaf_tables(
+                        skip_labels=(sp.scan.label,))
                     return run_streamed(self, sp, resident, live, adaptive)
                 except jax.errors.JaxRuntimeError:
                     # the stream's RESIDENT set (frozen builds) broke HBM —

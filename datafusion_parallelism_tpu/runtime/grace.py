@@ -70,8 +70,16 @@ _PART_KINDS = (Kind.INT32, Kind.INT64, Kind.DATE32, Kind.DECIMAL)
 @dataclass
 class GracePlan:
     root: PhysicalPlan
-    merge: PhysicalPlan          # PAggregate (fold) or PHashJoin (row union)
-    merge_is_agg: bool
+    # merge point: PAggregate (kind "agg" — partial fold), PHashJoin (kind
+    # "union" — row append), or a semi/anti PHashJoin with a RESIDENT build
+    # (kind "mask" — the build's visited mask ORs across partitions and the
+    # deferred emission runs once at finish, the streaming flush re-used)
+    merge: PhysicalPlan
+    kind: str
+
+    @property
+    def merge_is_agg(self) -> bool:
+        return self.kind == "agg"
     # scan label -> (scan node, BASE column name it is hash-partitioned by);
     # labels shared by several scans of the same table appear once
     parts: Dict[str, Tuple[PScan, str]]
@@ -89,9 +97,36 @@ def _hash_mod(v: np.ndarray, K: int) -> np.ndarray:
 
 
 def plan_grace(plan: PhysicalPlan, catalog, row_threshold: int):
-    """-> (GracePlan | None, rejection_reason | None)."""
+    """-> (GracePlan | None, rejection_reason | None).
+
+    When the full big-scan set cannot agree on one partitioning (Q9:
+    lineitem meets partsupp on partkey+suppkey but orders on orderkey),
+    DEMOTE the smallest big tables back to residency — up to a ceiling a
+    chip can actually hold — and retry with the rest. A demoted table pays
+    its resident build once; the partitioning constraint set shrinks."""
+    all_big = sorted(
+        {n.table_name for n in plan.walk() if isinstance(n, PScan)
+         and catalog.get(n.table_name).host.num_rows > row_threshold},
+        key=lambda t: catalog.get(t).host.num_rows)
+    if not all_big:
+        return None, "no scan above the residency threshold"
+    ceiling = int(os.environ.get("DFP_GRACE_RESIDENT_CEILING", 96 << 20))
+    first_reason = None
+    for demote in range(len(all_big)):
+        if demote and catalog.get(all_big[demote - 1]).host.num_rows \
+                > ceiling:
+            break      # too big to sit resident; no point demoting further
+        gp, reason = _plan_grace_one(plan, catalog,
+                                     set(all_big[demote:]))
+        if gp is not None:
+            return gp, None
+        first_reason = first_reason or reason
+    return None, first_reason
+
+
+def _plan_grace_one(plan: PhysicalPlan, catalog, big_tables):
     big_scans = [n for n in plan.walk() if isinstance(n, PScan)
-                 and catalog.get(n.table_name).host.num_rows > row_threshold]
+                 and n.table_name in big_tables]
     if not big_scans:
         return None, "no scan above the residency threshold"
     big_ids = {id(s) for s in big_scans}
@@ -102,35 +137,56 @@ def plan_grace(plan: PhysicalPlan, catalog, row_threshold: int):
     path0 = _path_to(plan, big_scans[0])
     cand = [n for n in path0 if isinstance(n, PAggregate)
             and all(_contains(n, s) for s in big_scans)]
+    merge = kind = walk_root = None
     if cand:
-        merge: PhysicalPlan = cand[-1]
+        merge = cand[-1]
         bad = [x.func for x in merge.aggs if x.func not in _DECOMPOSABLE]
         if bad:
             return None, f"non-decomposable aggregates at merge point: {bad}"
-        merge_is_agg = True
-        walk_root = merge.child
+        kind, walk_root = "agg", merge.child
     else:
         node = plan
         while isinstance(node, (PSort, PLimit, PProject)):
             node = node.child
-        if not isinstance(node, PHashJoin) \
-                or not all(_contains(node, s) for s in big_scans):
-            return None, ("no aggregate dominates every big scan and the "
-                          "plan root is not Sort/Limit/Project over a single "
-                          "join: no bounded merge point")
-        merge, merge_is_agg = node, False
-        walk_root = node
+        if isinstance(node, PHashJoin) \
+                and all(_contains(node, s) for s in big_scans):
+            merge, kind, walk_root = node, "union", node
 
-    parts: Dict[str, Tuple[PScan, str]] = {}
-    covered: set = set()
-    reason = _walk(walk_root, None, big_ids, parts, catalog, covered)
-    if reason is not None:
-        return None, reason
-    if covered != big_ids:
-        # some big scan was reached with no keyed meet above it (single
-        # unconstrained scan): that is morsel streaming's shape, not grace's
-        return None, ("a big scan has no keyed meet join above it "
-                      "(row-range streaming applies, not grace)")
+    def try_walk(root_node):
+        parts: Dict[str, Tuple[PScan, str]] = {}
+        covered: set = set()
+        reason = _walk(root_node, None, big_ids, parts, catalog, covered)
+        if reason is not None:
+            return None, reason
+        if covered != big_ids:
+            return None, ("a big scan has no keyed meet join above it "
+                          "(row-range streaming applies, not grace)")
+        return parts, None
+
+    parts = reason = None
+    if merge is not None:
+        parts, reason = try_walk(walk_root)
+    else:
+        reason = ("no aggregate dominates every big scan and the plan root "
+                  "is not Sort/Limit/Project over a single join: no bounded "
+                  "merge point")
+    if parts is None:
+        # MASK merge fallback (Q20's shape): a semi/anti join whose BUILD is
+        # resident and whose PROBE subtree holds every big scan selects
+        # resident rows — its visited mask is the bounded cross-partition
+        # state, the streaming flush machinery emits once at the end
+        for j in plan.walk():
+            if isinstance(j, PHashJoin) \
+                    and j.join_type in (JoinType.LEFT_SEMI,
+                                        JoinType.LEFT_ANTI) \
+                    and not any(id(m) in big_ids for m in j.build.walk()) \
+                    and all(_contains(j.probe, s) for s in big_scans):
+                mparts, mreason = try_walk(j.probe)
+                if mparts is not None:
+                    merge, kind, parts = j, "mask", mparts
+                    break
+        if parts is None:
+            return None, reason
     # partition-column dtypes must hash consistently across tables: require
     # integer-family kinds (dictionary codes are table-local)
     for label, (scan, col) in parts.items():
@@ -147,7 +203,7 @@ def plan_grace(plan: PhysicalPlan, catalog, row_threshold: int):
         if len(cols) > 1:
             return None, (f"{t} would need two different partitionings "
                           f"({sorted(cols)})")
-    return GracePlan(plan, merge, merge_is_agg, parts), None
+    return GracePlan(plan, merge, kind, parts), None
 
 
 def _walk(node, req: Optional[str], big_ids, parts, catalog,
@@ -324,13 +380,18 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
         return any(id(m) in big_ids for m in n.walk())
 
     merge = gp.merge
-    merge_sub = merge.child if gp.merge_is_agg else merge
+    merge_sub = {"agg": getattr(merge, "child", None), "union": merge,
+                 "mask": getattr(merge, "probe", None)}[gp.kind]
 
     # frozen builds: joins on the partition flow whose build subtree is
     # fully resident are prepared ONCE outside the loop (reference's
     # build-once / probe-stream split, inner.rs:48-75)
     path_joins = [j for j in merge_sub.walk() if isinstance(j, PHashJoin)
                   and not has_big(j.build) and has_big(j.probe)]
+    if gp.kind == "mask":
+        # the mask-merge join's own resident build is frozen once too; its
+        # visited mask IS the cross-partition accumulator
+        path_joins.append(merge)
     prep_nodes = {id(m) for j in path_joins for m in j.build.walk()}
     prep_adaptive = [(k, n) for k, n in adaptive if id(n) in prep_nodes]
     # the union-merge JOIN stays adaptive (its output truncation must grow
@@ -338,7 +399,10 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
     sub_adaptive = [(k, n) for k, n in adaptive
                     if not (gp.merge_is_agg and n is merge)
                     and id(n) not in prep_nodes
-                    and any(m is n for m in merge_sub.walk())]
+                    and (any(m is n for m in merge_sub.walk())
+                         # the mask-merge join runs inside the partition
+                         # program: its candidate capacity stays adaptive
+                         or (gp.kind == "mask" and n is merge))]
     head_adaptive = [(k, n) for k, n in adaptive
                      if not any(m is n for m in merge.walk())]
 
@@ -391,15 +455,16 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
                 break
             handle.metrics.retries += 1
 
-    if gp.merge_is_agg:
+    if gp.kind == "agg":
         partial_specs, merge_specs, finishers = \
             decompose_for_partial(merge.aggs)
         acc_schema = agg_output_schema(merge.child.schema, merge.group_keys,
                                        partial_specs)
+        acc_key = merge.node_id
     else:
         partial_specs = merge_specs = finishers = None
         acc_schema = merge.schema
-    acc_key = merge.node_id if gp.merge_is_agg else ("gu", merge.join_id)
+        acc_key = ("gu", merge.join_id)
 
     def pack_partition(k: int):
         packs, f64s, ns = {}, {}, {}
@@ -419,16 +484,18 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
     while True:   # accumulator-capacity restarts
         acc_cap = handle._caps.get(acc_key)
         if acc_cap is None:
-            if gp.merge_is_agg:
+            if gp.kind == "agg":
                 est = (round_capacity(int(2 * merge.est_groups))
                        if merge.est_groups > 0 else 1 << 16)
                 acc_cap = max(128, min(est, 1 << 24))
-            else:
+            elif gp.kind == "union":
                 est = (round_capacity(int(2 * merge.est_rows))
                        if merge.est_rows > 0 else 1 << 20)
                 acc_cap = max(1024, min(est, 1 << 24))
+            else:     # mask: the accumulator is the build-sized bool mask
+                acc_cap = prepared[merge.join_id].build.capacity
             handle._caps[acc_key] = acc_cap
-        acc_real_cap = acc_cap if (not gp.merge_is_agg
+        acc_real_cap = acc_cap if (gp.kind != "agg"
                                    or merge.group_keys) else 1
 
         def make_step():
@@ -443,7 +510,7 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
                         PackedTable(packs[label], f64s[label],
                                     layouts[label]),
                         schemas_p[label], ns[label])
-                if gp.merge_is_agg:
+                if gp.kind == "agg":
                     child, row_filter = merge.fused_child(tables, ctx)
                     partial, _ = hash_aggregate_counted(
                         child, merge.group_keys, partial_specs, acc_cap,
@@ -453,6 +520,14 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
                         concat_tables([acc, partial]), merge.group_keys,
                         merge_specs, acc_cap)
                     out_cols, out_rows = merged.columns, merged.num_rows
+                elif gp.kind == "mask":
+                    # chunk-wise semi/anti against the frozen resident
+                    # build: emission is deferred, only the visited mask
+                    # folds (PHashJoin._execute_stream_chunk)
+                    ctx.stream_visited = {merge.join_id: acc_cols}
+                    merge.execute(tables, ctx)
+                    out_cols = ctx.visited_out[merge.join_id]
+                    out_rows, mtotal = acc_rows, jnp.int32(0)
                 else:
                     out = merge.execute(tables, ctx)
                     # row-union append: scatter this partition's rows after
@@ -477,10 +552,14 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
 
         scaps, step = make_step()
         compiled = None
-        acc_cols = {f.name: (jnp.zeros((acc_real_cap,),
-                                       f.dtype.device_dtype),
-                             jnp.zeros((acc_real_cap,), jnp.bool_))
-                    for f in acc_schema.fields}
+        if gp.kind == "mask":
+            acc_cols = jnp.zeros(
+                (prepared[merge.join_id].build.capacity,), jnp.bool_)
+        else:
+            acc_cols = {f.name: (jnp.zeros((acc_real_cap,),
+                                           f.dtype.device_dtype),
+                                 jnp.zeros((acc_real_cap,), jnp.bool_))
+                        for f in acc_schema.fields}
         acc_rows = jnp.int32(0)
         restart = False
         handle.metrics.streamed_chunks = 0
@@ -572,9 +651,10 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
         if restart:
             continue
 
-        # persist settled capacities (accumulator shrunk to its true size)
+        # persist settled capacities (accumulator shrunk to its true size;
+        # the mask accumulator is build-sized and never shrinks)
         fit = round_capacity(max(mtotal, 1), minimum=1024)
-        if acc_cap > 4 * fit:
+        if gp.kind != "mask" and acc_cap > 4 * fit:
             handle._caps[acc_key] = fit
         handle.metrics.join_caps = dict(handle._caps)
         handle._save_caps(adaptive)
@@ -583,16 +663,23 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
         while True:
             hcaps = dict(handle._caps)
 
-            def finish_fn(acc_cols, acc_rows, resident, _caps=hcaps):
-                acc = DeviceTable(acc_schema, acc_cols, acc_rows)
+            def finish_fn(acc_cols, acc_rows, resident, prepared,
+                          _caps=hcaps):
                 ctx = ExecContext(_caps)
-                if gp.merge_is_agg:
+                if gp.kind == "agg":
+                    acc = DeviceTable(acc_schema, acc_cols, acc_rows)
                     out = finish_partial(acc, merge.group_keys, merge.aggs,
                                          finishers, merge.child.schema)
                     if root is merge:
                         return out, []
                     ctx.materialized = {merge.node_id: out}
+                elif gp.kind == "mask":
+                    from .streaming import _flush_input
+                    X = _flush_input(merge, prepared[merge.join_id].build,
+                                     acc_cols)
+                    ctx.materialized = {merge.join_id: X}
                 else:
+                    acc = DeviceTable(acc_schema, acc_cols, acc_rows)
                     ctx.materialized = {merge.join_id: acc}
                 res = root.execute(resident, ctx)
                 totals = [ctx.join_totals.get(kk, jnp.int32(0))
@@ -601,12 +688,14 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
 
             t0 = time.time()
             compiled_fin = jax.jit(finish_fn).lower(acc_cols, acc_rows,
-                                                    resident).compile()
+                                                    resident,
+                                                    prepared).compile()
             handle._caps.update(hcaps)
             handle.metrics.compile_count += 1
             handle.metrics.compile_time_s += time.time() - t0
             handle.metrics.launches += 1
-            out, totals = compiled_fin(acc_cols, acc_rows, resident)
+            out, totals = compiled_fin(acc_cols, acc_rows, resident,
+                                       prepared)
             totals = [int(x) for x in totals]
             overflow = False
             for (kk, _), total in zip(head_adaptive, totals):

@@ -34,11 +34,18 @@ def _ctx(tables):
 def _force_grace(monkeypatch, chunk_rows=2048):
     monkeypatch.setenv("DFP_STREAM_ROW_THRESHOLD", "3000")
     monkeypatch.setenv("DFP_STREAM_CHUNK_ROWS", str(chunk_rows))
+    # scaled analog of the SF100 default (96M): partsupp (8k rows at
+    # sf 0.01) may demote to residency, lineitem/orders may not
+    monkeypatch.setenv("DFP_GRACE_RESIDENT_CEILING", "20000")
+    monkeypatch.setenv("DFP_FORCE_GRACE", "1")
 
 
 # Q17/Q18/Q21 self-join lineitem, Q2 self-joins partsupp, Q7 joins the two
-# biggest tables — none is row-range streamable (plan_stream rejects all 5)
-@pytest.mark.parametrize("q", [17, 18, 21, 2, 7])
+# biggest tables — none is row-range streamable (plan_stream rejects all 5).
+# Q8/Q9/Q12 stream only via the side-swap; under FORCE_GRACE they partition
+# (Q9 through the partsupp demotion). Q20's huge-group subquery uses the
+# mask merge.
+@pytest.mark.parametrize("q", [17, 18, 21, 2, 7, 8, 9, 12, 20])
 def test_grace_tpch_matches_oracle(tables, q, monkeypatch):
     _force_grace(monkeypatch)
     ctx = _ctx(tables)
@@ -50,25 +57,33 @@ def test_grace_tpch_matches_oracle(tables, q, monkeypatch):
         f"{h.metrics.streamed_chunks})"
 
 
-def test_grace_eligibility(tables):
+def test_grace_eligibility(tables, monkeypatch):
     from datafusion_parallelism_tpu.runtime.grace import plan_grace
 
+    monkeypatch.setenv("DFP_GRACE_RESIDENT_CEILING", "20000")
     ctx = _ctx(tables)
     expect = {
-        17: {"lineitem": "l_partkey"},
-        18: {"lineitem": "l_orderkey", "orders": "o_orderkey"},
-        21: {"lineitem": "l_orderkey", "orders": "o_orderkey"},
-        2: {"partsupp": "ps_partkey"},
-        7: {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+        17: ({"lineitem": "l_partkey"}, "agg"),
+        18: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        21: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        2: ({"partsupp": "ps_partkey"}, "union"),
+        7: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        8: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        # Q9: partsupp (under the demotion ceiling) goes resident so that
+        # lineitem/orders can agree on the orderkey partitioning
+        9: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        12: ({"lineitem": "l_orderkey", "orders": "o_orderkey"}, "agg"),
+        # Q20: semi-selection of resident suppliers -> visited-mask merge
+        20: (None, "mask"),
     }
-    for q, cols in expect.items():
+    for q, (cols, kind) in expect.items():
         h = _ctx(tables).sql(QUERIES[q])
         gp, reason = plan_grace(h.plan, ctx.catalog, 3000)
         assert gp is not None, f"Q{q} grace-ineligible: {reason}"
-        got = {s.table_name: c for s, c in gp.parts.values()}
-        assert got == cols, f"Q{q}: {got} != {cols}"
-        # merge kinds: Q2 has no aggregate above its big scans (row union)
-        assert gp.merge_is_agg == (q != 2)
+        if cols is not None:
+            got = {s.table_name: c for s, c in gp.parts.values()}
+            assert got == cols, f"Q{q}: {got} != {cols}"
+        assert gp.kind == kind, f"Q{q}: kind {gp.kind} != {kind}"
 
 
 def test_grace_self_join_semi_with_rows(monkeypatch):
