@@ -343,13 +343,22 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
         if t in partinfo:
             continue
         reg = catalog.get(t)
+        # cached per (column, K) on the registration: consecutive queries
+        # partitioning the same table the same way (lineitem by l_orderkey
+        # for Q7/8/9/12/18/21) skip the 600M-row hash + stable argsort
+        cache = getattr(reg, "_grace_parts", None)
+        if cache is None:
+            cache = reg._grace_parts = {}
+        if (col, K) in cache:
+            partinfo[t] = cache[(col, K)]
+            continue
         t0 = time.time()
         v, _ = reg.host.columns[col]
         part = _hash_mod(v, K)
         order = np.argsort(part, kind="stable")
         counts = np.bincount(part, minlength=K)
         bounds = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
-        partinfo[t] = (order, bounds, int(counts.max()))
+        partinfo[t] = cache[(col, K)] = (order, bounds, int(counts.max()))
         if debug:
             print(f"[grace] partitioned {t} by {col} into {K} "
                   f"(max {int(counts.max())} rows) in {time.time()-t0:.1f}s",
