@@ -41,6 +41,7 @@ class ExecutorMetrics:
         # validated); host_pack_s is stream-chunk packing on the host
         self.launches = 0
         self.host_pack_s = 0.0
+        self.upload_s = 0.0   # host->device transfer windows (device_put)
         # distributed scaling proxies (no multi-chip hardware attached):
         # collective bytes received per device per step (exact, from static
         # shapes at trace time), per-join per-device candidate totals, and

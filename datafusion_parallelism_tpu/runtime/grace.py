@@ -626,7 +626,9 @@ def run_grace(handle, gp: GracePlan, adaptive) -> DeviceTable:
             handle.metrics.host_pack_s += time.time() - t0
             # async upload before blocking on the pending partition's
             # scalars: the transfer overlaps partition k-1's compute
+            t0 = time.time()
             packs, f64s = jax.device_put((packs, f64s))
+            handle.metrics.upload_s += time.time() - t0
             if debug:
                 print(f"[grace] partition {k} packed in "
                       f"{time.time()-t0:.2f}s", flush=True)

@@ -439,7 +439,9 @@ def run_streamed(handle, sp: StreamPlan, resident: Dict[str, DeviceTable],
             # start the async host->device transfer NOW, before blocking on
             # the pending chunk's scalars: the upload (the dominant per-chunk
             # cost on relay-backed devices) then overlaps chunk i-1's compute
+            t0u = time.time()
             packed, f64s = jax.device_put((packed, f64s))
+            handle.metrics.upload_s += time.time() - t0u
             if debug:
                 print(f"[stream] chunk {i} packed in {time.time()-t0:.2f}s",
                       flush=True)

@@ -195,9 +195,10 @@ def run(argv=None) -> dict:
                 "compile_s": round(m.compile_time_s, 3),
                 "device_and_sync_s": round(m.run_time_s, 3),
                 "host_pack_s": round(m.host_pack_s, 3),
+                "upload_s": round(m.upload_s, 3),
                 "dispatch_other_s": round(
                     max(0.0, sum(times) / 1000.0 - m.compile_time_s
-                        - m.run_time_s - m.host_pack_s), 3),
+                        - m.run_time_s - m.host_pack_s - m.upload_s), 3),
             }}
         if args.concurrency > 1:
             # distributed scaling proxies (BASELINE's >=80% scaling target
