@@ -694,11 +694,14 @@ class DistributedQueryHandle(QueryHandle):
                 for _, sub in self.scalar_subqueries]
         for (sv, _), handle in zip(self.scalar_subqueries,
                                    self._sub_handles):
+            if getattr(sv, "_settled", False):
+                continue   # registered tables are immutable (executor.py)
             result = handle.run().to_host()
             rows = result.to_pylist()
             if len(rows) != 1:
                 raise ValueError(f"scalar subquery returned {len(rows)} rows")
             sv.holder[0] = rows[0][result.schema.fields[0].name]
+            sv._settled = True
 
         # Morsel streaming over the mesh: when the biggest scan's upload
         # alone breaks the per-device HBM budget and the plan is
